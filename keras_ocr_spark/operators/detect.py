@@ -1,0 +1,87 @@
+"""Stage 1 — distributed span proposal (the "detector").
+
+Graft analog of ``Detector.detect`` (``/root/reference/keras_ocr/
+detection.py:745-785``): for each turn, propose content regions. The
+heavy lift (HTML tokenization + node scoring + run-length components)
+runs the *shared pure-Python core* inside an Arrow-vectorized pandas UDF
+— one Python worker call per Arrow batch, never per row at the Spark API
+layer (the batch-vectorization strategy of ``model.predict`` over a whole
+batch, ``detection.py:779``).
+
+Scale notes:
+- the UDF consumes ONLY the ``text`` column (column pruning: everything
+  else stays JVM-side, cf. the reference's RGB->gray channel pruning,
+  ``recognition.py:429-434``);
+- per-record cost is bounded by ``cfg.max_len`` BEFORE tokenization (the
+  ``max_size`` cap, ``pipeline.py:45-47``) — the first defense against
+  pathological turns;
+- the optional salted repartition spreads hot ``conv_id``s across
+  partitions before the map stage (north-rule skew handling).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..core.proposal import propose_spans
+from ..core.tokenizer import tokenize
+
+SPAN_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+            T.StructField("score", T.DoubleType(), False),
+            T.StructField("n_nodes", T.IntegerType(), False),
+        ]
+    )
+)
+
+
+def propose_spans_udf(cfg: ExtractionConfig = DEFAULT_CONFIG):
+    """Vectorized pandas UDF: text -> array<struct<start,end,score,n_nodes>>.
+
+    Proposal only — no decoding here: stage 2 decodes JVM-side and drops
+    spans whose decode is empty (blank-label drop,
+    ``recognition.py:483-488``), keeping Python work minimal.
+    """
+
+    def _one(raw) -> list:
+        capped = (raw or "")[: cfg.max_len]
+        return [
+            {"start": s.start, "end": s.end, "score": s.score, "n_nodes": s.n_nodes}
+            for s in propose_spans(tokenize(capped), len(capped), cfg)
+        ]
+
+    @F.pandas_udf(SPAN_TYPE)
+    def _propose(texts: pd.Series) -> pd.Series:
+        return texts.map(_one)
+
+    return _propose
+
+
+def salt_expr(n_salt: int) -> Column:
+    """Deterministic salt from turn_idx: spreads one hot conv_id over
+    ``n_salt`` shuffle buckets (north-rule: salted repartition on conv_id)."""
+    return F.pmod(F.col("turn_idx"), F.lit(n_salt)).alias("salt")
+
+
+def detect(
+    df: DataFrame,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    n_salt: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a ``spans`` column to a transcript DataFrame.
+
+    ``n_salt`` > 0 applies the salted repartition on (conv_id, salt) so a
+    skewed conversation's turns land in many partitions instead of one.
+    """
+    if n_salt > 0:
+        parts = [F.col("conv_id"), salt_expr(n_salt)]
+        df = df.repartition(num_partitions, *parts) if num_partitions else df.repartition(*parts)
+    return df.withColumn("spans", propose_spans_udf(cfg)(F.col("text")))
