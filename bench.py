@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
+
+Headline metric: end-to-end extraction throughput in turns/sec for the
+flagship detect-then-extract pipeline over a deterministic synthetic
+transcript table (seed=42) sized to the sf — plus per-query wall times
+for the operator suite over the sf tables.
+
+Usage:
+  python bench.py                      # sf0.1, local[32]
+  SPARK_GRAFT_CPUS=8 python bench.py   # scaling-efficiency runs
+  python bench.py --queries q1,q2      # subset
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from keras_ocr_spark.driver_queries import QUERIES  # noqa: E402
+from keras_ocr_spark.plans.pipeline import extract  # noqa: E402
+from keras_ocr_spark.plans.session import build_session  # noqa: E402
+from keras_ocr_spark.sources.transcripts import generate_pandas  # noqa: E402
+
+#: Headline operator queries benchmarked per round (a representative cut:
+#: flagship extraction + the heavier shuffle/join/dedup paths).
+BENCH_QUERIES = [
+    "extract_documents",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "runlength_segments",
+    "interval_join_events",
+    "ordering_window",
+    "quality_scores",
+]
+
+#: Synthetic transcript conversations per sf unit (sf0.1 -> 2000 convs,
+#: ~14k turns + the 700-turn skew tail).
+CONVS_PER_SF = 20000
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = Path(sf_dir).name  # e.g. sf0.1
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    ap.add_argument("--queries", default=",".join(BENCH_QUERIES))
+    ap.add_argument("--skip-transcripts", action="store_true")
+    args = ap.parse_args()
+
+    sf = sf_from_dir(args.sf_dir)
+    spark = build_session(app_name="bench", master=f"local[{args.cpus}]", shuffle_partitions=max(args.cpus, 8))
+
+    queries: dict[str, float] = {}
+    total = 0.0
+
+    # --- headline: end-to-end extraction throughput (turns/sec) ---------
+    turns = 0
+    extract_sec = 0.0
+    if not args.skip_transcripts:
+        n_convs = max(int(CONVS_PER_SF * sf), 50)
+        pdf = generate_pandas(n_convs=n_convs, seed=42, make_skewed=True)
+        turns = len(pdf)
+        tdf = spark.createDataFrame(pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp")
+        tdf.write.mode("overwrite").parquet("/tmp/bench_transcripts.parquet")
+        src = spark.read.parquet("/tmp/bench_transcripts.parquet")
+        t0 = time.perf_counter()
+        out = extract(src, n_salt=8)
+        n_out = out.count()
+        extract_sec = time.perf_counter() - t0
+        assert n_out == turns, f"row mismatch {n_out} != {turns}"
+        queries["extract_transcripts"] = round(extract_sec, 3)
+        total += extract_sec
+
+    # --- operator suite over the sf tables -------------------------------
+    for name in [q.strip() for q in args.queries.split(",") if q.strip()]:
+        if name not in QUERIES:
+            continue
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, args.sf_dir)
+        df.count()
+        dt = time.perf_counter() - t0
+        queries[name] = round(dt, 3)
+        total += dt
+
+    throughput = round(turns / extract_sec, 1) if extract_sec else None
+    print(
+        json.dumps(
+            {
+                "metric": "total bench seconds (extraction + operator suite)",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": queries,
+                "sf": sf,
+                "cpus": args.cpus,
+                "turns": turns,
+                "extraction_throughput_turns_per_sec": throughput,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,713 @@
+"""Driver-contract query registry: name -> (spark_fn, duckdb_oracle_sql).
+
+One entry per implemented operator from SURVEY.md §2 plus the
+training-data-pipeline operators (dedup / similarity / text analysis).
+Each Spark callable takes ``(spark, sf_dir)`` and returns a DataFrame;
+each oracle is ANSI-ish SQL DuckDB runs on the same parquet tables.
+
+Column-name AND column-type discipline: every computed column is aliased
+identically on both sides; integers are cast to BIGINT, floats rounded
+and cast to DOUBLE, dates formatted as strings — so the driver's
+order-insensitive value-hash compares apples to apples.
+
+Cross-engine exactness notes:
+- md5 hex strings are bit-identical in Spark and DuckDB — all dedup
+  operators hash with md5 (see ``functions.hashing``);
+- double arithmetic is IEEE and both engines evaluate array folds
+  left-to-right, so even cosine similarities agree after an explicit
+  cast-to-double; quantized (integer) variants are provided where float
+  order could ever matter;
+- timestamps compare as ``unix_micros`` BIGINTs (Spark session TZ is
+  UTC; DuckDB parquet timestamps are naive UTC).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Dict, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from .functions.hashing import HEX
+from .functions.numeric import pround
+from .operators import dedup as D
+from .operators import similarity as S
+from .operators import textstats as TS
+from .plans.pipeline import extract
+
+# --------------------------------------------------------------------------
+# helpers
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _b(col):
+    return F.col(col).cast("long").alias(col)
+
+
+QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
+
+
+def register(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = (fn, sql)
+        return fn
+
+    return deco
+
+
+# ==========================================================================
+# 1. Relational operator checks (SURVEY.md §2 mappings)
+# ==========================================================================
+
+
+@register(
+    "ordering_window",
+    """
+    SELECT * FROM (
+      SELECT CAST(o_custkey AS BIGINT) AS o_custkey,
+             CAST(o_orderkey AS BIGINT) AS o_orderkey,
+             strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+)
+def q_ordering_window(spark, sf_dir):
+    """Stable in-group ordering — fix_line analog (tools.py:584-600)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            _b("o_custkey"),
+            _b("o_orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "running_offset",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(l_linenumber AS BIGINT) AS l_linenumber,
+           CAST(floor(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS DOUBLE) AS running_qty
+    FROM lineitem
+    """,
+)
+def q_running_offset(spark, sf_dir):
+    """Running totals — the start_end offset bookkeeping
+    (recognition.py:520-522) as a window frame."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return li.select(
+        _b("l_orderkey"),
+        _b("l_linenumber"),
+        pround(F.sum("l_quantity").over(w), 2).alias("running_qty"),
+    )
+
+
+@register(
+    "runlength_segments",
+    """
+    WITH gaps AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    segs AS (
+      SELECT user_id, value,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM gaps)
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(seg AS BIGINT) AS seg,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE) AS total_value
+    FROM segs GROUP BY user_id, seg
+    """,
+)
+def q_runlength_segments(spark, sf_dir):
+    """Run-length segmentation — the 1-D connected-components recast
+    (detection.py:227-229) as lag + running sum (sessionization)."""
+    ev = _t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            (F.unix_micros(F.col("ts").cast("timestamp")) - F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w) > 1_800_000_000)
+            | F.lag(F.unix_micros(F.col("ts").cast("timestamp"))).over(w).isNull(),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(W.unboundedPreceding, W.currentRow)
+    segs = gaps.select("user_id", "value", F.sum("is_new").over(w2).alias("seg"))
+    return segs.groupBy("user_id", "seg").agg(
+        F.count("*").cast("long").alias("n_events"),
+        pround(F.sum("value"), 2).alias("total_value"),
+    ).select(_b("user_id"), _b("seg"), "n_events", "total_value")
+
+
+@register(
+    "group_max_filter",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(floor(max(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS DOUBLE) AS max_rev
+    FROM lineitem GROUP BY l_orderkey
+    HAVING max(l_extendedprice * (1 - l_discount)) >= 1500.0
+    """,
+)
+def q_group_max_filter(spark, sf_dir):
+    """Group-max predicate — the detection_threshold cull
+    (detection.py:238-241)."""
+    li = _t(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.max(rev).alias("_max_rev"))
+        .filter(F.col("_max_rev") >= 1500.0)
+        .select(_b("l_orderkey"), pround(F.col("_max_rev"), 2).alias("max_rev"))
+    )
+
+
+@register(
+    "having_count",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem GROUP BY l_orderkey HAVING count(*) >= 5
+    """,
+)
+def q_having_count(spark, sf_dir):
+    """Size filter — the component-area threshold (detection.py:233-236)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").cast("long").alias("n_items"))
+        .filter(F.col("n_items") >= 5)
+        .select(_b("l_orderkey"), "n_items")
+    )
+
+
+@register(
+    "anti_join_customers",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_anti_join_customers(spark, sf_dir):
+    """Left-anti join — the unmatched-prediction FP complement
+    (evaluation.py:132-136)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(_b("c_custkey"))
+
+
+@register(
+    "semi_join_customers",
+    """
+    SELECT CAST(c_custkey AS BIGINT) AS c_custkey FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q_semi_join_customers(spark, sf_dir):
+    """Left-semi join (EXISTS) — matched-set membership
+    (evaluation.py:93,104)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(_b("c_custkey"))
+
+
+@register(
+    "interval_join_events",
+    """
+    SELECT CAST(e.user_id AS BIGINT) AS user_id, CAST(count(*) AS BIGINT) AS n_pairs
+    FROM events e JOIN events c
+      ON e.user_id = c.user_id
+     AND e.event_type = 'error' AND c.event_type = 'click'
+     AND abs(epoch_us(e.ts) - epoch_us(c.ts)) <= 600000000
+    GROUP BY e.user_id
+    """,
+)
+def q_interval_join_events(spark, sf_dir):
+    """Equi+range theta join — the IoU matching join shape
+    (evaluation.py:90-104): bounded by the equi key, filtered by the
+    interval predicate."""
+    ev = _t(spark, sf_dir, "events")
+    e = ev.filter(F.col("event_type") == "error").alias("e")
+    c = ev.filter(F.col("event_type") == "click").alias("c")
+    joined = e.join(
+        c,
+        (F.col("e.user_id") == F.col("c.user_id"))
+        & (F.abs(F.unix_micros(F.col("e.ts").cast("timestamp")) - F.unix_micros(F.col("c.ts").cast("timestamp"))) <= 600_000_000),
+    )
+    return joined.groupBy(F.col("e.user_id").cast("long").alias("user_id")).agg(
+        F.count("*").cast("long").alias("n_pairs")
+    )
+
+
+@register(
+    "levenshtein_pairs",
+    """
+    SELECT CAST(a.p_partkey AS BIGINT) AS id_a, CAST(b.p_partkey AS BIGINT) AS id_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS lev
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 5
+    """,
+)
+def q_levenshtein_pairs(spark, sf_dir):
+    """Edit-distance similarity — evaluation.py:116-123 via built-in
+    levenshtein."""
+    p = _t(spark, sf_dir, "part")
+    a = p.alias("a")
+    b = p.alias("b")
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    return (
+        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
+        .filter(lev <= 5)
+        .select(
+            F.col("a.p_partkey").cast("long").alias("id_a"),
+            F.col("b.p_partkey").cast("long").alias("id_b"),
+            lev.cast("long").alias("lev"),
+        )
+    )
+
+
+@register(
+    "union_limit",
+    """
+    SELECT * FROM (
+      SELECT c_name AS name, CAST(floor(c_acctbal * 100 + 0.5) / 100 AS DOUBLE) AS acctbal, 'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_name AS name, CAST(floor(s_acctbal * 100 + 0.5) / 100 AS DOUBLE) AS acctbal, 'supplier' AS src FROM supplier)
+    ORDER BY name, src LIMIT 50
+    """,
+)
+def q_union_limit(spark, sf_dir):
+    """Union + deterministic order + limit — datasets.py:163-190 splits
+    union; datasets.py:81-88 limit."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_name").alias("name"),
+        pround(F.col("c_acctbal"), 2).alias("acctbal"),
+        F.lit("customer").alias("src"),
+    )
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_name").alias("name"),
+        pround(F.col("s_acctbal"), 2).alias("acctbal"),
+        F.lit("supplier").alias("src"),
+    )
+    return c.unionByName(s).orderBy("name", "src").limit(50)
+
+
+@register(
+    "topk_argmax",
+    """
+    SELECT p_brand, CAST(p_partkey AS BIGINT) AS p_partkey,
+           CAST(floor(p_retailprice * 100 + 0.5) / 100 AS DOUBLE) AS p_retailprice
+    FROM (
+      SELECT p_brand, p_partkey, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey) AS rn
+      FROM part) WHERE rn = 1
+    """,
+)
+def q_topk_argmax(spark, sf_dir):
+    """Top-1 per group — max_by / argmax (data_generation.py:105-108)."""
+    p = _t(spark, sf_dir, "part")
+    w = W.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", _b("p_partkey"), pround(F.col("p_retailprice"), 2).alias("p_retailprice"))
+    )
+
+
+@register(
+    "distinct_segments",
+    """
+    SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer
+    """,
+)
+def q_distinct_segments(spark, sf_dir):
+    """distinct() — set de-dup (detection.py:432-438)."""
+    return _t(spark, sf_dir, "customer").select("c_mktsegment", _b("c_nationkey")).distinct()
+
+
+# ==========================================================================
+# 2. Extraction operators (the flagship, SQL-expressible pieces)
+# ==========================================================================
+
+_DECODE_SQL = (
+    "trim(regexp_replace("
+    "replace(replace(replace(replace(replace(replace("
+    "regexp_replace({col}, '<[^>]*>', '', 'g'),"
+    "'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&'),"
+    "'[ \t\r\n]+', ' ', 'g'))"
+)
+
+
+@register(
+    "decode_chain",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           {_DECODE_SQL.format(col="'<div><p>' || text || '</p><br/></div>'")} AS clean
+    FROM documents
+    """,
+)
+def q_decode_chain(spark, sf_dir):
+    """Stage-2 CTC-analog decode chain (recognition.py:169-184 semantics)
+    as pure JVM built-ins over synthesized markup."""
+    from .functions.text import decode_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    html = F.concat(F.lit("<div><p>"), F.col("text"), F.lit("</p><br/></div>"))
+    return docs.select(_b("doc_id"), decode_expr(html).alias("clean"))
+
+
+@register(
+    "extract_documents",
+    """
+    SELECT 'doc-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+           CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+           trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+           CAST(1 AS BIGINT) AS n_spans
+    FROM documents
+    """,
+)
+def q_extract_documents(spark, sf_dir):
+    """FLAGSHIP: the full two-stage detect-then-extract pipeline
+    (pandas-UDF stage 1 + JVM stage 2 + windowed reassembly,
+    pipeline.py:28-75 analog) over transcripts synthesized from the
+    documents table. The oracle knows the synthesized markup shape, so
+    the expected extraction is just the collapsed original text — an
+    end-to-end golden at sf scale (test_pipeline.py:17-21 analog)."""
+    docs = _t(spark, sf_dir, "documents")
+    transcripts = docs.select(
+        F.concat(F.lit("doc-"), (F.col("doc_id") % 50).cast("string")).alias("conv_id"),
+        F.expr("doc_id div 50").cast("int").alias("turn_idx"),
+        F.concat(
+            F.lit("<body><nav><a href='/'>home</a> <a href='/x'>about</a></nav><p>"),
+            F.col("text"),
+            F.lit("</p><footer>footer boilerplate junk</footer></body>"),
+        ).alias("text"),
+    )
+    out = extract(transcripts)
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "clean_text",
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
+# ==========================================================================
+# 3. Dedup operators (training-data pipeline, first-class)
+# ==========================================================================
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, CAST(min(doc_id) AS BIGINT) AS keeper_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def q_dedup_exact(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = D.exact_dedup(docs)
+    return out.select("text_hash", F.col("keeper_id").cast("long").alias("keeper_id"), F.col("n_dups").cast("long").alias("n_dups"))
+
+
+_SHINGLES_SQL = """
+      SELECT doc_id AS id,
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
+      FROM documents
+      WHERE len(string_split(text,' ')) >= 3
+"""
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(floor(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS jaccard
+    FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = D.ngram_jaccard_pairs(docs, threshold=0.5)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+def _minhash_sql_components(n: int) -> str:
+    return ", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(n))
+
+
+def _band_sql_values(n_bands: int, rows: int) -> str:
+    vals = []
+    for i in range(n_bands):
+        lo = i * rows + 1
+        hi = i * rows + rows
+        vals.append(f"({i}, md5(array_to_string(signature[{lo}:{hi}], '|')))")
+    return ", ".join(vals)
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature
+      FROM sh0 WHERE len(shingles) > 0),
+    bands AS (
+      SELECT id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key))
+    SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id
+    """,
+)
+def q_dedup_minhash_lsh(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, n_hashes=16)
+    out = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+    return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
+
+
+def _simhash_sql() -> str:
+    nib = lambda i: f"(strpos('{HEX}', substr(md5(w), {i}, 1)) - 1)"
+    v = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+    bits = []
+    for bit in range(16):
+        p = 1 << bit
+        vote = f"list_sum(list_transform(words, w -> CASE WHEN {v} % {2 * p} >= {p} THEN 1 ELSE -1 END))"
+        bits.append(f"CASE WHEN {vote} > 0 THEN {p} ELSE 0 END")
+    return " + ".join(bits)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH docs AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents)
+    SELECT CAST(id AS BIGINT) AS id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM docs
+    """,
+)
+def q_dedup_simhash(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = D.simhash_fingerprints(docs)
+    return out.select(F.col("id").cast("long").alias("id"), F.col("simhash").cast("long").alias("simhash"))
+
+
+# ==========================================================================
+# 4. Similarity search (embeddings)
+# ==========================================================================
+
+_QDOT_SQL = """
+    list_sum(list_transform(range(1, 65),
+      i -> CAST(round(CAST(e.embedding[i] AS DOUBLE) * 1000) AS BIGINT)
+         * CAST(round(CAST(q.embedding[i] AS DOUBLE) * 1000) AS BIGINT)))
+"""
+
+
+@register(
+    "ann_topk_quantized",
+    f"""
+    SELECT CAST(e.vec_id AS BIGINT) AS id, CAST({_QDOT_SQL} AS BIGINT) AS qdot
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY qdot DESC, id LIMIT 10
+    """,
+)
+def q_ann_topk_quantized(spark, sf_dir):
+    """Brute-force top-k by integer-quantized dot product (exact oracle)."""
+    from .functions.hashing import quantized_dot_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.col("vec_id").cast("long").alias("id"),
+            quantized_dot_expr(F.col("embedding"), F.col("q_embedding")).alias("qdot"),
+        )
+    )
+    return scored.orderBy(F.desc("qdot"), F.asc("id")).limit(10)
+
+
+_COS_SQL = """
+    floor(
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))))
+      * 100000 + 0.5) / 100000
+"""
+
+
+@register(
+    "ann_cosine_topk",
+    f"""
+    SELECT CAST(e.vec_id AS BIGINT) AS id, CAST({_COS_SQL} AS DOUBLE) AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY cosine DESC, id LIMIT 10
+    """,
+)
+def q_ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-k (the exact ANN baseline)."""
+    from .functions.hashing import dot_expr, norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    e_d = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    q_d = F.transform(F.col("q_embedding"), lambda x: x.cast("double"))
+    cos = dot_expr(e_d, q_d) / (norm_expr(e_d) * norm_expr(q_d))
+    scored = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(F.col("vec_id").cast("long").alias("id"), pround(cos, 5).alias("cosine"))
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(10)
+
+
+# ==========================================================================
+# 5. Text analysis (training-data curation)
+# ==========================================================================
+
+
+def _lang_count_sql(word: str) -> str:
+    return f"len(list_filter(string_split(lower(text), ' '), w -> w = '{word}'))"
+
+
+def _lang_score_sql(markers) -> str:
+    return " + ".join(_lang_count_sql(m) for m in markers)
+
+
+@register(
+    "lang_scores",
+    f"""
+    WITH scored AS (
+      SELECT doc_id AS id,
+             {_lang_score_sql(TS.LANG_MARKERS["en"])} AS score_en,
+             {_lang_score_sql(TS.LANG_MARKERS["es"])} AS score_es,
+             {_lang_score_sql(TS.LANG_MARKERS["fr"])} AS score_fr,
+             {_lang_score_sql(TS.LANG_MARKERS["de"])} AS score_de
+      FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(score_en AS BIGINT) AS score_en, CAST(score_es AS BIGINT) AS score_es,
+           CAST(score_fr AS BIGINT) AS score_fr, CAST(score_de AS BIGINT) AS score_de,
+           CASE WHEN greatest(score_en, score_es, score_fr, score_de) = 0 THEN 'unknown'
+                WHEN score_en = greatest(score_en, score_es, score_fr, score_de) THEN 'en'
+                WHEN score_es = greatest(score_en, score_es, score_fr, score_de) THEN 'es'
+                WHEN score_fr = greatest(score_en, score_es, score_fr, score_de) THEN 'fr'
+                ELSE 'de' END AS pred_lang
+    FROM scored
+    """,
+)
+def q_lang_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.lang_scores(docs)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        *[F.col(f"score_{lang}").cast("long").alias(f"score_{lang}") for lang in TS.LANG_MARKERS],
+        "pred_lang",
+    )
+
+
+@register(
+    "quality_scores",
+    f"""
+    WITH feats AS (
+      SELECT doc_id AS id, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             {_lang_score_sql(TS.LANG_MARKERS["en"])} AS stop_hits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(floor((CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words ELSE 0 END) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_word_len,
+           CAST(floor((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS stop_ratio,
+           CAST(floor((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS punct_ratio,
+           CAST(floor((least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                    + least((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                    + (CAST(1.0 AS DOUBLE) - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE))
+                 * 1000000 + 0.5) / 1000000 AS DOUBLE) AS quality
+    FROM feats
+    """,
+)
+def q_quality_scores(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.quality_scores(docs)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("avg_word_len").cast("double").alias("avg_word_len"),
+        F.col("stop_ratio").cast("double").alias("stop_ratio"),
+        F.col("punct_ratio").cast("double").alias("punct_ratio"),
+        F.col("quality").cast("double").alias("quality"),
+    )
+
+
+@register(
+    "token_counts",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS BIGINT) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_counts(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    out = TS.token_counts(docs)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_ws_tokens").cast("long").alias("n_ws_tokens"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    """
+    WITH docs AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           md5(array_to_string(list_sort(list_distinct(list_transform(words, w -> md5(w))))[1:4], '|')) AS fingerprint
+    FROM docs
+    """,
+)
+def q_doc_fingerprint(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return TS.fingerprints(docs).select(F.col("id").cast("long").alias("id"), "fingerprint")

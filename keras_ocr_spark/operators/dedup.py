@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a ``(id, text)``-shaped DataFrame, all Spark-first:
+
+- **exact**            — md5 groupBy (one shuffle on the hash, perfectly
+                         distributable; at 100 TB this is the canonical
+                         pre-pass before any near-dup work).
+- **n-gram Jaccard**   — shingle -> explode -> equi-join on shingle ->
+                         count-based Jaccard.
+- **MinHash + LSH**    — per-row signatures (zero shuffle, higher-order
+                         fns), band keys, equi-join on band -> candidate
+                         pairs; optional exact-Jaccard verification of
+                         candidates only (the scale path: candidates ≪
+                         all-pairs).
+- **SimHash**          — per-row 16..64-bit fingerprints, near-dups =
+                         small Hamming distance.
+- **embedding cosine** — see ``operators.similarity``.
+
+All hashing is md5-based (``functions.hashing``) so every operator has an
+exact DuckDB oracle. Signature computation never shuffles; only the
+candidate-pair equi-joins do, and those are plain hash joins Catalyst/AQE
+handle (skewed shingle keys — stopword shingles — are filtered by a
+document-frequency cap before the join, the classic hot-key guard).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import minhash_expr, shingles_expr, simhash_expr, words_expr
+from ..functions.numeric import pround
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Hash-groupBy exact dedup: one row per distinct text with the
+    keeper (min id) and the duplicate count."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keeper_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def shingle_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """id -> distinct k-gram shingle rows (exploded)."""
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles_expr(words_expr(F.col(text_col)), k)).alias("shingle"),
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle-set Jaccard >= threshold.
+
+    ``max_shingle_df`` drops shingles appearing in more than that many
+    docs before the self-join — the hot-key guard that keeps the join
+    from exploding on boilerplate shingles at scale.
+    """
+    sh = shingle_docs(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", pround(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    n_hashes: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """id -> array of n_hashes MinHash components (md5-hex strings).
+
+    Entirely per-row (higher-order functions): NO shuffle — at 100 TB
+    this stage is a pure map over the scan.
+    """
+    shingles = shingles_expr(words_expr(F.col(text_col)), k)
+    sig = F.array(*[minhash_expr(shingles, seed) for seed in range(n_hashes)])
+    return df.select(F.col(id_col).alias("id"), sig.alias("signature")).filter(
+        ~F.array_contains(F.transform("signature", F.isnull), True)
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    n_bands: int = 4,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """MinHash LSH: band the signature, equi-join on (band_idx, band_key).
+
+    Docs sharing >= 1 band become candidate pairs (a < b, distinct).
+    The join is a plain hash equi-join on the band key — broadcast if one
+    side is small, sort-merge otherwise; AQE splits skewed buckets.
+    """
+    bands = signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(F.concat_ws("|", F.slice("signature", i * rows_per_band + 1, rows_per_band))).alias(
+                            "band_key"
+                        ),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_key")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup flow: signatures -> candidates ->
+    exact-Jaccard verification of CANDIDATES ONLY (the scale path — the
+    expensive shingle join touches candidate pairs, not all pairs)."""
+    sigs = minhash_signatures(df, n_hashes, id_col, text_col, k)
+    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands)
+    sh = shingle_docs(df, id_col, text_col, k)
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a_sh = sh.withColumnRenamed("id", "id_a")
+    b_sh = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "shingle_b")
+    common = (
+        cands.join(a_sh, "id_a")
+        .join(b_sh, "id_b")
+        .filter(F.col("shingle") == F.col("shingle_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", pround(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
+def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """id -> 16-bit SimHash (per-row, no shuffle; cross-engine exact)."""
+    return df.select(F.col(id_col).alias("id"), simhash_expr(words_expr(F.col(text_col))).alias("simhash"))
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.
+
+    Scale path: block on half-bytes of the fingerprint (pigeonhole — two
+    fingerprints within Hamming ``max_hamming`` <= 2 share at least one of
+    3 contiguous ~5-bit blocks intact) instead of the quadratic cross
+    join; here with 16-bit hashes we block on bytes.
+    """
+    fp = simhash_fingerprints(df, id_col, text_col)
+    blocks = fp.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("blk"), (F.col("simhash") % 256).alias("key")),
+                F.struct(F.lit(1).alias("blk"), (F.col("simhash") / 256).cast("int").alias("key")),
+            )
+        ).alias("b"),
+    ).select("id", "simhash", "b.blk", "b.key")
+    a = blocks.alias("a")
+    b = blocks.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk")) & (F.col("a.key") == F.col("b.key")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -1,0 +1,105 @@
+"""Text-analysis operators for training-data curation: language-ID,
+quality scoring, token counting, document fingerprinting.
+
+All four are pure JVM expression pipelines (regexp/array built-ins inside
+whole-stage codegen) — no Python workers anywhere, so at 100 TB each is a
+single map pass over the scan with column pruning down to (id, text).
+Each has an exact DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import words_expr
+from ..functions.numeric import pround
+
+#: Tiny per-language stopword marker sets (n-gram-heuristic language ID).
+#: Deliberately small + ASCII so the same literals work in DuckDB SQL.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "a"],
+    "es": ["el", "la", "de", "que", "y"],
+    "fr": ["le", "la", "de", "et", "les"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+#: BPE-ish token pattern: word pieces, numbers, single punctuation.
+TOKEN_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def _count_word(words: Column, word: str) -> Column:
+    return F.size(F.filter(words, lambda w: w == F.lit(word)))
+
+
+def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc stopword hit counts per language + argmax prediction.
+
+    The n-gram-heuristic langid: score(lang) = #occurrences of that
+    language's marker words; predicted = argmax with deterministic
+    tie-break on language code.
+    """
+    words = words_expr(F.lower(F.col(text_col)))
+    scores = {lang: sum_markers(words, markers) for lang, markers in LANG_MARKERS.items()}
+    out = df.select(F.col(id_col).alias("id"), *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS])
+    # argmax via greatest + case chain (ties broken by lang order en<es<fr<de alphabetical-ish, deterministic)
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANG_MARKERS])
+    pred = F.lit("unknown")
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when((F.col(f"score_{lang}") == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return out.withColumn("pred_lang", pred)
+
+
+def sum_markers(words: Column, markers: list) -> Column:
+    total = F.lit(0)
+    for m in markers:
+        total = total + _count_word(words, m)
+    return total
+
+
+def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a blended
+    0..1 quality score (heuristic curation filter)."""
+    text = F.col(text_col)
+    words = words_expr(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    stop_hits = sum_markers(words, LANG_MARKERS["en"])
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9 ]"), 0))
+    avg_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    # Blend: long enough, some stopwords, not punctuation-soup.
+    quality = (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_chars.alias("n_chars"),
+        n_words.alias("n_words"),
+        pround(avg_word_len, 6).alias("avg_word_len"),
+        pround(stop_ratio, 6).alias("stop_ratio"),
+        pround(punct_ratio, 6).alias("punct_ratio"),
+        pround(quality, 6).alias("quality"),
+    )
+
+
+def token_counts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(words_expr(text)).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
+    )
+
+
+def fingerprints(df: DataFrame, n_min: int = 4, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Winnowing-style document fingerprint: md5 of the ``n_min`` smallest
+    distinct word hashes (per-row array algebra, no shuffle; robust to
+    word order, cheap collision check for near-identical docs)."""
+    word_hashes = F.array_sort(F.array_distinct(F.transform(words_expr(F.col(text_col)), F.md5)))
+    fp = F.md5(F.concat_ws("|", F.slice(word_hashes, 1, n_min)))
+    return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))

@@ -1,0 +1,77 @@
+"""Checkpoint/resume tests — the kill/resume scenario from BASELINE.md:
+re-run skips completed partitions via manifest anti-join (graft analog of
+the reference's resume-from-weights loop,
+``scripts/train_recognizer_synthtext90_multigpu.py:126-147``)."""
+
+import json
+from pathlib import Path
+
+import pytest
+
+from keras_ocr_spark.config import ExtractionConfig
+from keras_ocr_spark.plans.checkpoint import completed_buckets, read_manifests, run_with_checkpoints
+from keras_ocr_spark.sources.transcripts import generate_pandas
+
+
+@pytest.fixture(scope="module")
+def input_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("ckpt") / "transcripts.parquet")
+    pdf = generate_pandas(n_convs=20, make_skewed=False)
+    spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_kill_and_resume_exact(spark, input_path, tmp_path):
+    out = str(tmp_path / "out")
+    # First run crashes after 3 buckets (injected).
+    with pytest.raises(RuntimeError, match="injected failure"):
+        run_with_checkpoints(spark, input_path, out, n_buckets=6, fail_after_bucket=3)
+    manifests = list(read_manifests(out))
+    assert len(manifests) == 3
+    done_before = {m["bucket"] for m in manifests}
+
+    # Resume: completes ONLY the remaining buckets.
+    summary = run_with_checkpoints(spark, input_path, out, n_buckets=6)
+    assert set(summary["buckets_skipped"]) == done_before
+    assert set(summary["buckets_run"]) == set(range(6)) - done_before
+
+    # Full output = every input turn exactly once.
+    result = spark.read.parquet(*[f"{out}/bucket={b}" for b in range(6)])
+    n_input = spark.read.parquet(input_path).count()
+    assert result.count() == n_input
+    assert result.select("conv_id", "turn_idx").distinct().count() == n_input
+
+    # Third run: everything skipped, nothing recomputed.
+    summary3 = run_with_checkpoints(spark, input_path, out, n_buckets=6)
+    assert summary3["buckets_run"] == [] and len(summary3["buckets_skipped"]) == 6
+
+
+def test_config_change_invalidates_manifests(spark, input_path, tmp_path):
+    out = str(tmp_path / "out2")
+    run_with_checkpoints(spark, input_path, out, n_buckets=2)
+    # Different thresholds -> different fingerprint -> full recompute.
+    summary = run_with_checkpoints(
+        spark, input_path, out, n_buckets=2, cfg=ExtractionConfig(size_threshold=5)
+    )
+    assert summary["buckets_run"] == [0, 1]
+
+
+def test_corrupt_manifest_triggers_redo(spark, input_path, tmp_path):
+    out = str(tmp_path / "out3")
+    run_with_checkpoints(spark, input_path, out, n_buckets=2)
+    mpath = Path(out) / "_manifests" / "bucket-0.json"
+    fingerprint = json.loads(mpath.read_text())["fingerprint"]
+    mpath.write_text("{ truncated")
+    assert completed_buckets(out, fingerprint) == [1]
+
+
+def test_manifest_content_hash_stable(spark, input_path, tmp_path):
+    out_a = str(tmp_path / "a")
+    out_b = str(tmp_path / "b")
+    run_with_checkpoints(spark, input_path, out_a, n_buckets=2)
+    run_with_checkpoints(spark, input_path, out_b, n_buckets=2, n_salt=4)
+    ha = {m["bucket"]: m["content_sha256"] for m in read_manifests(out_a)}
+    hb = {m["bucket"]: m["content_sha256"] for m in read_manifests(out_b)}
+    assert ha == hb  # salting must not change committed content

@@ -1,0 +1,165 @@
+"""Operator-level tests: dedup, similarity, text stats, multimodal.
+
+Small hand-built inputs with exactly known answers (the reference's
+golden-unit-test style, tests/test_tools.py + test_evaluation.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from keras_ocr_spark.operators import dedup as D
+from keras_ocr_spark.operators import multimodal as M
+from keras_ocr_spark.operators import similarity as S
+from keras_ocr_spark.operators import textstats as TS
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the lazy cat"),  # near dup of 0
+    (3, "completely different words about spark and data engines"),
+    (4, "tiny"),  # < 3 words: no shingles
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+class TestExactDedup:
+    def test_exact_groups(self, docs):
+        rows = {r.text_hash: r for r in D.exact_dedup(docs).collect()}
+        assert len(rows) == 4  # 5 docs, one exact dup
+        dup_group = [r for r in rows.values() if r.n_dups == 2]
+        assert len(dup_group) == 1 and dup_group[0].keeper_id == 0
+
+
+class TestNgramJaccard:
+    def test_exact_dup_has_jaccard_one(self, docs):
+        pairs = {(r.id_a, r.id_b): r.jaccard for r in D.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+        assert pairs[(0, 1)] == 1.0
+        assert 0 < pairs[(0, 2)] < 1.0  # near dup: some shared shingles
+        assert (0, 3) not in pairs  # unrelated
+
+    def test_hot_shingle_guard(self, docs):
+        # Dropping ubiquitous shingles must not crash and removes pairs
+        # that relied on them only.
+        out = D.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).collect()
+        assert all(r.id_a < r.id_b for r in out)
+
+
+class TestMinHashLSH:
+    def test_signature_shape_and_determinism(self, docs):
+        sigs = D.minhash_signatures(docs, n_hashes=16).collect()
+        assert all(len(r.signature) == 16 for r in sigs)
+        assert {r.id for r in sigs} == {0, 1, 2, 3}  # doc 4 has no shingles
+        by_id = {r.id: r.signature for r in sigs}
+        assert by_id[0] == by_id[1]  # identical docs -> identical signatures
+
+    def test_lsh_finds_exact_dup(self, docs):
+        sigs = D.minhash_signatures(docs, n_hashes=16)
+        pairs = {(r.id_a, r.id_b) for r in D.lsh_candidate_pairs(sigs).collect()}
+        assert (0, 1) in pairs
+
+    def test_full_flow_verifies_candidates(self, docs):
+        out = {(r.id_a, r.id_b): r.jaccard for r in D.minhash_dedup_pairs(docs, threshold=0.9).collect()}
+        assert out.get((0, 1)) == 1.0
+        assert all(j >= 0.9 for j in out.values())
+
+
+class TestSimHash:
+    def test_fingerprints_deterministic_and_close_for_near_dups(self, docs):
+        fps = {r.id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
+        assert fps[0] == fps[1]
+        assert all(0 <= v < 65536 for v in fps.values())
+        ham_near = bin(fps[0] ^ fps[2]).count("1")
+        ham_far = bin(fps[0] ^ fps[3]).count("1")
+        assert ham_near < ham_far
+
+    def test_near_pairs(self, docs):
+        pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=2).collect()}
+        assert pairs.get((0, 1)) == 0
+
+
+class TestSimilarity:
+    @pytest.fixture(scope="class")
+    def vecs(self, spark):
+        import math
+
+        rows = []
+        for i in range(50):
+            base = [math.sin(i * 0.7 + j) for j in range(8)]
+            rows.append((i, [float(x) for x in base]))
+        rows.append((99, rows[7][1]))  # exact copy of vec 7
+        return spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+
+    def test_brute_force_finds_exact_copy_first(self, vecs):
+        query = vecs.filter(F.col("vec_id") == 7).collect()[0].embedding
+        top = S.brute_force_topk(vecs.filter(F.col("vec_id") != 7), query, k=3).collect()
+        assert top[0].id == 99
+        assert abs(top[0].cosine - 1.0) < 1e-6
+
+    def test_quantized_matches_bruteforce_leader(self, vecs):
+        query = vecs.filter(F.col("vec_id") == 7).collect()[0].embedding
+        top = S.brute_force_topk_quantized(vecs.filter(F.col("vec_id") != 7), query, k=3).collect()
+        assert top[0].id == 99
+
+    def test_lsh_ann_contains_exact_copy(self, vecs):
+        query = vecs.filter(F.col("vec_id") == 7).collect()[0].embedding
+        top = S.ann_topk_lsh(vecs.filter(F.col("vec_id") != 7), query, k=5, n_planes=4)
+        ids = [r.id for r in top.collect()]
+        assert 99 in ids  # same bucket as its exact copy, by construction
+
+    def test_all_pairs_above_finds_duplicate_pair(self, vecs):
+        pairs = S.all_pairs_above(vecs, threshold=0.999, n_planes=4, dim=8).collect()
+        assert any((r.id_a, r.id_b) == (7, 99) for r in pairs)
+
+
+class TestTextStats:
+    @pytest.fixture(scope="class")
+    def tiny(self, spark):
+        return spark.createDataFrame(
+            [(0, "the cat and the dog"), (1, "el perro y la casa de que"), (2, "x! y? z.")],
+            "doc_id int, text string",
+        )
+
+    def test_lang_scores(self, tiny):
+        rows = {r.id: r for r in TS.lang_scores(tiny).collect()}
+        assert rows[0].score_en == 3 and rows[0].pred_lang == "en"  # the x2, and
+        assert rows[1].pred_lang == "es"
+
+    def test_token_counts(self, tiny):
+        rows = {r.id: r for r in TS.token_counts(tiny).collect()}
+        assert rows[0].n_ws_tokens == 5
+        assert rows[2].n_bpe_tokens == 6  # x ! y ? z .
+
+    def test_quality_monotonic(self, tiny):
+        rows = {r.id: r for r in TS.quality_scores(tiny).collect()}
+        assert rows[0].quality > rows[2].quality  # words beat punct soup
+        assert rows[0].stop_ratio == 0.6
+
+    def test_fingerprint_stable(self, tiny):
+        a = {r.id: r.fingerprint for r in TS.fingerprints(tiny).collect()}
+        b = {r.id: r.fingerprint for r in TS.fingerprints(tiny).collect()}
+        assert a == b and len(set(a.values())) == 3
+
+
+class TestMultimodal:
+    def test_feature_extraction_deterministic(self, spark):
+        media = M.synth_media(spark, n=12)
+        a = sorted((r.media_id, tuple(r.feat)) for r in M.extract_features(media).collect())
+        b = sorted((r.media_id, tuple(r.feat)) for r in M.extract_features(media).collect())
+        assert a == b
+        assert all(len(f) == 8 for _, f in a)
+        assert all(all(0.0 <= x <= 1.0 for x in f) for _, f in a)
+
+    def test_real_decoder_is_stubbed(self, spark):
+        media = M.synth_media(spark, n=3)
+        with pytest.raises(Exception, match="NotImplementedError|media decode"):
+            M.extract_features(media, decode_stub=False).collect()
+
+    def test_frame_sampling(self, spark):
+        media = M.synth_media(spark, n=9)
+        frames = M.sample_frames(media, every_n=10).collect()
+        assert len(frames) > 0
+        assert all(r.frame_idx % 10 == 0 for r in frames)

@@ -1,0 +1,99 @@
+"""Physical-plan shape audits — the scale story, checked in CI.
+
+Asserts properties of `.explain()` output that matter at 100 TB:
+- column pruning reaches the parquet scan (ReadSchema carries only what
+  the plan needs);
+- exactly ONE Python boundary (stage-1 ArrowEvalPython); stage 2 and the
+  reassembly prep stay JVM-side;
+- pure-expression operators (textstats, simhash, minhash signatures)
+  have NO exchange and NO Python nodes at all;
+- the flagship plan has exactly one required shuffle (the per-turn
+  aggregation) when salting is off.
+"""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from keras_ocr_spark.operators import dedup as D
+from keras_ocr_spark.operators import textstats as TS
+from keras_ocr_spark.plans.pipeline import extract
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+@pytest.fixture(scope="module")
+def transcripts_path(spark, tmp_path_factory):
+    from keras_ocr_spark.sources.transcripts import generate_pandas
+
+    p = str(tmp_path_factory.mktemp("plan") / "t.parquet")
+    spark.createDataFrame(
+        generate_pandas(n_convs=5, make_skewed=False),
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).write.parquet(p)
+    return p
+
+
+class TestFlagshipPlan:
+    def test_column_pruning_reaches_scan(self, spark, transcripts_path):
+        df = extract(spark.read.parquet(transcripts_path))
+        plan = plan_of(df)
+        m = re.search(r"ReadSchema: (\S+)", plan)
+        assert m, plan
+        read_schema = m.group(1)
+        assert "text" in read_schema and "conv_id" in read_schema
+        # role/tool/ts must NOT be read — 3 of 6 columns pruned at the scan.
+        assert "role" not in read_schema and "tool" not in read_schema and "ts" not in read_schema
+
+    def test_single_python_boundary(self, spark, transcripts_path):
+        df = extract(spark.read.parquet(transcripts_path))
+        plan = plan_of(df)
+        assert plan.count("ArrowEvalPython") == 1  # stage 1 only
+        assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+    def test_single_required_shuffle(self, spark, transcripts_path):
+        df = extract(spark.read.parquet(transcripts_path))  # n_salt=0
+        plan = plan_of(df)
+        assert plan.count("Exchange") == 1  # only the per-turn groupBy
+
+    def test_salting_adds_exactly_one_exchange(self, spark, transcripts_path):
+        df = extract(spark.read.parquet(transcripts_path), n_salt=8)
+        plan = plan_of(df)
+        assert plan.count("Exchange") == 2
+
+    def test_wholestage_codegen_covers_decode(self, spark, transcripts_path):
+        plan = plan_of(extract(spark.read.parquet(transcripts_path)))
+        assert "WholeStageCodegen" in plan
+
+
+class TestExpressionOperatorsStayJvmSide:
+    @pytest.fixture(scope="class")
+    def docs(self, spark):
+        return spark.createDataFrame([(i, f"word{i} alpha beta gamma delta") for i in range(10)], "doc_id int, text string")
+
+    @pytest.mark.parametrize(
+        "build",
+        [
+            lambda d: TS.lang_scores(d),
+            lambda d: TS.quality_scores(d),
+            lambda d: TS.token_counts(d),
+            lambda d: TS.fingerprints(d),
+            lambda d: D.minhash_signatures(d),
+            lambda d: D.simhash_fingerprints(d),
+        ],
+        ids=["lang", "quality", "tokens", "fingerprint", "minhash_sigs", "simhash"],
+    )
+    def test_no_python_no_shuffle(self, docs, build):
+        plan = plan_of(build(docs))
+        assert "Python" not in plan  # pure JVM expressions
+        assert "Exchange" not in plan  # map-only: scan -> project
+
+
+class TestFilterPushdown:
+    def test_predicate_reaches_parquet(self, spark, transcripts_path):
+        df = spark.read.parquet(transcripts_path).filter(F.col("role") == "user").select("conv_id")
+        plan = plan_of(df)
+        assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
