@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Scaling-efficiency evidence (north rule: throughput@4N / (4 x
+throughput@N) >= 0.8, evidenced at local[8] vs local[32] — no real
+cluster in this sandbox).
+
+Runs the identical extraction job (same input parquet, same config) in
+TWO FRESH spark-submit JVMs — one local[8], one local[32] — so neither
+run inherits the other's JVM warmup, and reports turns/sec at both plus
+the efficiency ratio into BENCH/BASELINE.md and BENCH/scaling.json.
+
+Usage: python BENCH/run_scaling.py [--convs 20000] [--n 8 --four-n 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+RUNNER = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from keras_ocr_spark.plans.session import build_session
+from keras_ocr_spark.plans.pipeline import extract
+
+cores = int(sys.argv[1]); inp = sys.argv[2]
+spark = build_session(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
+                      shuffle_partitions=max(cores, 8))
+src = spark.read.parquet(inp)
+n_turns = src.count()
+# warmup: JIT + Python worker pool spin-up on a small slice
+extract(src.limit(500)).count()
+t0 = time.perf_counter()
+out = extract(src, n_salt=8)
+n_out = out.count()
+dt = time.perf_counter() - t0
+assert n_out == n_turns, (n_out, n_turns)
+print("RESULT " + json.dumps({{"cores": cores, "sec": dt, "turns": n_turns,
+                               "turns_per_sec": n_turns / dt}}))
+spark.stop()
+"""
+
+
+def run_at(cores: int, inp: str) -> dict:
+    script = RUNNER.format(repo=str(REPO))
+    proc = subprocess.run(
+        [sys.executable, "-c", script, str(cores), inp],
+        capture_output=True,
+        text=True,
+        timeout=3000,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(proc.stderr[-3000:])
+    line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    return json.loads(line[len("RESULT "):])
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--convs", type=int, default=20000)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--four-n", type=int, default=32)
+    args = ap.parse_args()
+
+    from keras_ocr_spark.plans.session import build_session
+    from keras_ocr_spark.sources.transcripts import generate_pandas
+
+    inp = "/tmp/scaling_transcripts.parquet"
+    print(f"generating {args.convs} conversations ...", flush=True)
+    spark = build_session(app_name="gen", master="local[8]")
+    pdf = generate_pandas(n_convs=args.convs, seed=42, make_skewed=True)
+    spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).repartition(64).write.mode("overwrite").parquet(inp)
+    n_turns = len(pdf)
+    spark.stop()
+    print(f"input: {n_turns} turns", flush=True)
+
+    t_start = time.strftime("%Y-%m-%d %H:%M:%S")
+    lo = run_at(args.n, inp)
+    hi = run_at(args.four_n, inp)
+    ratio = args.four_n / args.n
+    eff = hi["turns_per_sec"] / (ratio * lo["turns_per_sec"])
+    result = {
+        "timestamp": t_start,
+        "turns": n_turns,
+        "n_cores": args.n,
+        "four_n_cores": args.four_n,
+        "throughput_at_n": round(lo["turns_per_sec"], 1),
+        "throughput_at_4n": round(hi["turns_per_sec"], 1),
+        "sec_at_n": round(lo["sec"], 2),
+        "sec_at_4n": round(hi["sec"], 2),
+        "scaling_efficiency": round(eff, 3),
+        "target": ">= 0.8",
+        "pass": eff >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    (REPO / "BENCH/scaling.json").write_text(json.dumps(result, indent=2) + "\n")
+
+    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+
+North rule: `throughput@4N / (4 x throughput@N) >= 0.8`. No real cluster
+in this sandbox: the identical extraction job (same input parquet, same
+config, fresh JVM each) runs at `local[{args.n}]` (N) and
+`local[{args.four_n}]` (4N).
+
+| run | cores | wall (s) | turns/sec |
+|---|---|---|---|
+| N  | {args.n} | {result['sec_at_n']} | {result['throughput_at_n']} |
+| 4N | {args.four_n} | {result['sec_at_4n']} | {result['throughput_at_4n']} |
+
+- input: {n_turns} turns (deterministic synthetic transcripts, seed=42,
+  including the 700-turn skew conversation; salted repartition n_salt=8)
+- **scaling efficiency = {result['scaling_efficiency']}** (target >= 0.8: {"PASS" if result['pass'] else "FAIL"})
+- measured: {t_start}
+"""
+    (REPO / "BENCH/BASELINE.md").write_text(md)
+    print("wrote BENCH/BASELINE.md, BENCH/scaling.json")
+    return 0 if result["pass"] else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

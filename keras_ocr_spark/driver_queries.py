@@ -98,7 +98,8 @@ def q_ordering_window(spark, sf_dir):
     """
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
            CAST(l_linenumber AS BIGINT) AS l_linenumber,
-           CAST(floor(sum(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber
+           CAST(floor(sum(l_quantity) OVER (PARTITION BY l_orderkey
+                     ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100 AS DOUBLE) AS running_qty
     FROM lineitem
     """,
@@ -107,7 +108,13 @@ def q_running_offset(spark, sf_dir):
     """Running totals — the start_end offset bookkeeping
     (recognition.py:520-522) as a window frame."""
     li = _t(spark, sf_dir, "lineitem")
-    w = W.partitionBy("l_orderkey").orderBy("l_linenumber").rowsBetween(W.unboundedPreceding, W.currentRow)
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data:
+    # full tie-breakers make the frame order engine-independent.
+    w = (
+        W.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_quantity", "l_partkey", "l_suppkey")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     return li.select(
         _b("l_orderkey"),
         _b("l_linenumber"),

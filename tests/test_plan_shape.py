@@ -25,6 +25,12 @@ def plan_of(df) -> str:
     return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
 
 
+def n_nodes(plan: str, name: str) -> int:
+    """Count physical nodes by their detail headers — the formatted
+    explain prints each node twice (tree + '(k) Name' detail)."""
+    return len(re.findall(rf"\(\d+\) {name}\b", plan))
+
+
 @pytest.fixture(scope="module")
 def transcripts_path(spark, tmp_path_factory):
     from keras_ocr_spark.sources.transcripts import generate_pandas
@@ -51,22 +57,39 @@ class TestFlagshipPlan:
     def test_single_python_boundary(self, spark, transcripts_path):
         df = extract(spark.read.parquet(transcripts_path))
         plan = plan_of(df)
-        assert plan.count("ArrowEvalPython") == 1  # stage 1 only
+        assert n_nodes(plan, "ArrowEvalPython") == 1  # stage 1 only
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
     def test_single_required_shuffle(self, spark, transcripts_path):
         df = extract(spark.read.parquet(transcripts_path))  # n_salt=0
         plan = plan_of(df)
-        assert plan.count("Exchange") == 1  # only the per-turn groupBy
+        assert n_nodes(plan, "Exchange") == 1  # only the per-turn groupBy
+
+    def test_map_side_partial_aggregation(self, spark, transcripts_path):
+        # collect_list partials run BEFORE the exchange (shuffle carries
+        # partially-aggregated buffers, not raw span rows).
+        plan = plan_of(extract(spark.read.parquet(transcripts_path)))
+        assert "partial_collect_list" in plan
+        # Node ids number leaf->root: the partial-agg node must sit
+        # BELOW the exchange node.
+        exchange_id = int(re.search(r"\((\d+)\) Exchange\b", plan).group(1))
+        partial_block = plan[: plan.index("partial_collect_list")]
+        partial_id = int(re.findall(r"\((\d+)\) \w+", partial_block)[-1])
+        assert partial_id < exchange_id
 
     def test_salting_adds_exactly_one_exchange(self, spark, transcripts_path):
         df = extract(spark.read.parquet(transcripts_path), n_salt=8)
         plan = plan_of(df)
-        assert plan.count("Exchange") == 2
+        assert n_nodes(plan, "Exchange") == 2
 
     def test_wholestage_codegen_covers_decode(self, spark, transcripts_path):
-        plan = plan_of(extract(spark.read.parquet(transcripts_path)))
-        assert "WholeStageCodegen" in plan
+        # Codegen-mode explain lists the fused subtrees; the stage-2
+        # decode chain (regexp_replace/substring) must live inside one.
+        df = extract(spark.read.parquet(transcripts_path))
+        cg = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "codegen")
+        m = re.search(r"Found (\d+) WholeStageCodegen subtrees", cg)
+        assert m and int(m.group(1)) >= 1, cg[:500]
+        assert "regexp_replace" in cg
 
 
 class TestExpressionOperatorsStayJvmSide:

@@ -1,0 +1,60 @@
+"""spark-submit --py-files deployment test (north-rule requirement).
+
+Packages the library as a zip, then runs the real extraction job through
+``spark-submit`` in a fresh JVM with ONLY the zip on the python path —
+proving the UDFs unpickle and the package imports on executors the way a
+real cluster would see it."""
+
+import json
+import shutil
+import subprocess
+from pathlib import Path
+
+import pytest
+
+from keras_ocr_spark.sources.transcripts import generate_pandas
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+@pytest.mark.slow
+def test_spark_submit_py_files(spark, tmp_path):
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    # Build the zip.
+    subprocess.run(["bash", str(REPO / "scripts/package.sh")], check=True, capture_output=True)
+    zip_path = REPO / "dist/keras_ocr_spark.zip"
+    assert zip_path.exists()
+
+    # Input parquet.
+    inp = str(tmp_path / "in.parquet")
+    pdf = generate_pandas(n_convs=5, make_skewed=False)
+    spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+
+    proc = subprocess.run(
+        [
+            spark_submit,
+            "--master", "local[4]",
+            "--conf", "spark.ui.enabled=false",
+            "--conf", "spark.sql.shuffle.partitions=8",
+            "--py-files", str(zip_path),
+            str(REPO / "scripts/extract_job.py"),
+            "--input", inp,
+            "--output", out,
+            "--buckets", "2",
+            "--salt", "4",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=420,
+        cwd=str(tmp_path),  # NOT the repo root: forces import from the zip
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+    assert sorted(summary["buckets_run"]) == [0, 1]
+    assert summary["rows"] == len(pdf)
