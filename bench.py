@@ -43,9 +43,9 @@ BENCH_QUERIES = [
     "quality_scores",
 ]
 
-#: Synthetic transcript conversations per sf unit (sf0.1 -> 2000 convs,
-#: ~14k turns + the 700-turn skew tail).
-CONVS_PER_SF = 20000
+#: Synthetic transcript conversations per sf unit (sf0.1 -> 10000 convs,
+#: ~70k turns + the 700-turn skew tail).
+CONVS_PER_SF = 100000
 
 
 def sf_from_dir(sf_dir: str) -> float:
