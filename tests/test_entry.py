@@ -1,0 +1,40 @@
+"""Driver-contract smoke: entry() runs and returns rows; every query is
+callable; oracle keys are a subset of query keys (the driver pairs them).
+The full Spark-vs-DuckDB value comparison lives in
+scripts/check_oracles.py (run separately — it is the driver's gate)."""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import pytest
+
+REPO = Path(__file__).resolve().parent.parent
+spec = importlib.util.spec_from_file_location("spark_entry", REPO / "__spark_entry__.py")
+entry_mod = importlib.util.module_from_spec(spec)
+sys.modules["spark_entry"] = entry_mod
+spec.loader.exec_module(entry_mod)
+
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() > 0
+    assert set(df.columns) == {"conv_id", "turn_idx", "clean_text", "n_spans"}
+
+
+def test_queries_and_oracles_align(spark):
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 24
+    assert set(oracles) <= set(qs)
+    # every registered query is SQL-checkable in round 1
+    assert set(oracles) == set(qs)
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_each_query_is_lazy_plannable(spark, name):
+    # Building the plan must not error (execution checked by check_oracles).
+    df = entry_mod.queries()[name](spark, SF_SMOKE)
+    assert df.columns
