@@ -34,10 +34,14 @@ spark = build_session(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
                       shuffle_partitions=max(cores, 8))
 src = spark.read.parquet(inp)
 n_turns = src.count()
-# warmup: JIT + Python worker pool spin-up on a small slice
-extract(src.limit(500)).count()
+# warmup x2: JIT + codegen + Python worker pool spin-up (same query shape)
+extract(src.limit(2000), n_salt=8, num_partitions=2 * cores).count()
+extract(src.limit(2000), n_salt=8, num_partitions=2 * cores).count()
 t0 = time.perf_counter()
-out = extract(src, n_salt=8)
+# explicit partition count (2x cores): AQE honors user-specified
+# repartition numbers, so the 4N run actually uses 4N cores even on a
+# bench-sized input (at 100 TB AQE's byte-based coalescing is correct).
+out = extract(src, n_salt=8, num_partitions=2 * cores)
 n_out = out.count()
 dt = time.perf_counter() - t0
 assert n_out == n_turns, (n_out, n_turns)
@@ -63,7 +67,9 @@ def run_at(cores: int, inp: str) -> dict:
 
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--convs", type=int, default=20000)
+    # ~350k turns: large enough that per-stage fixed overheads (task
+    # scheduling, codegen) are noise at both parallelism levels.
+    ap.add_argument("--convs", type=int, default=50000)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--four-n", type=int, default=32)
     args = ap.parse_args()
