@@ -718,3 +718,65 @@ def q_token_counts(spark, sf_dir):
 def q_doc_fingerprint(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     return TS.fingerprints(docs).select(F.col("id").cast("long").alias("id"), "fingerprint")
+
+
+# ==========================================================================
+# 6. Remaining SURVEY §2 scalar/agg mappings
+# ==========================================================================
+
+
+@register(
+    "normalize_clip",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           CAST(floor(greatest(least((value - CAST(100.0 AS DOUBLE)) / CAST(50.0 AS DOUBLE),
+                                     CAST(3.0 AS DOUBLE)), CAST(-3.0 AS DOUBLE)) * 1000000 + 0.5) / 1000000
+                AS DOUBLE) AS norm
+    FROM events
+    """,
+)
+def q_normalize_clip(spark, sf_dir):
+    """Normalize projection + clip — compute_input (detection.py:34-42)
+    `(x - mean)/std` and np.clip (detection.py:52) as plain expressions."""
+    ev = _t(spark, sf_dir, "events")
+    norm = F.greatest(F.least((F.col("value") - 100.0) / 50.0, F.lit(3.0)), F.lit(-3.0))
+    return ev.select(_b("event_id"), pround(norm, 6).alias("norm"))
+
+
+@register(
+    "combine_line",
+    """
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+           string_agg(l_returnflag, '' ORDER BY l_linenumber, l_quantity, l_partkey, l_suppkey) AS flags,
+           CAST(min(l_linenumber) AS BIGINT) AS first_line,
+           CAST(max(l_linenumber) AS BIGINT) AS last_line
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def q_combine_line(spark, sf_dir):
+    """combine_line (tools.py:124-147): ordered in-group concatenation +
+    bounding extent — sort_array(collect_list(struct)) then join, with the
+    group bbox as min/max."""
+    li = _t(spark, sf_dir, "lineitem")
+    ordered = F.sort_array(
+        F.collect_list(F.struct("l_linenumber", "l_quantity", "l_partkey", "l_suppkey", "l_returnflag"))
+    )
+    return li.groupBy("l_orderkey").agg(
+        F.array_join(F.transform(ordered, lambda s: s["l_returnflag"]), "").alias("flags"),
+        F.min("l_linenumber").cast("long").alias("first_line"),
+        F.max("l_linenumber").cast("long").alias("last_line"),
+    ).select(_b("l_orderkey"), "flags", "first_line", "last_line")
+
+
+@register(
+    "sha256_manifest",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, sha256(text) AS text_sha FROM documents
+    """,
+)
+def q_sha256_manifest(spark, sf_dir):
+    """Integrity hash — download_and_verify / sha256sum
+    (tools.py:484-530) as F.sha2; the checkpoint-manifest content hash
+    uses the same primitive."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(_b("doc_id"), F.sha2(F.col("text"), 256).alias("text_sha"))
