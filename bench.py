@@ -82,9 +82,12 @@ def main() -> int:
         src = spark.read.parquet("/tmp/bench_transcripts.parquet")
         # Warmup: same query shape on a slice — pays JVM codegen/JIT and
         # Python-worker spin-up once, so the timed run is steady-state.
-        extract(src.limit(2000), n_salt=8, num_partitions=2 * args.cpus).count()
+        # Default plan: NO pre-shuffle (stage 1 is a per-turn map; the
+        # salted repartition is the opt-in remedy for skewed input
+        # layouts and costs one full-data shuffle).
+        extract(src.limit(2000)).count()
         t0 = time.perf_counter()
-        out = extract(src, n_salt=8, num_partitions=2 * args.cpus)
+        out = extract(src)
         n_out = out.count()
         extract_sec = time.perf_counter() - t0
         assert n_out == turns, f"row mismatch {n_out} != {turns}"
