@@ -26,11 +26,24 @@ WS_PATTERN = r"[ \t\r\n]+"
 
 
 def decode_expr(col: Column) -> Column:
-    """Markup fragment column -> clean text column (all JVM built-ins)."""
-    s = F.regexp_replace(col, TAG_PATTERN, "")
+    """Markup fragment column -> clean text column (all JVM built-ins).
+
+    Each rewrite is GUARDED by a cheap containment test: most spans have
+    no tags/entities/collapsible whitespace, and skipping the rewrite
+    avoids one string allocation per step per row (a large share of GC
+    pressure at scale). The guards are semantic identities — a rewrite
+    with zero matches returns an equal string — so parity with the
+    Python decoder is unchanged (asserted on randomized fragments in
+    tests/test_parity.py).
+    """
+    s = F.when(col.contains("<"), F.regexp_replace(col, TAG_PATTERN, "")).otherwise(col)
+    decoded = s
     for entity, char in ENTITIES:
-        s = F.replace(s, F.lit(entity), F.lit(char))
-    s = F.regexp_replace(s, WS_PATTERN, " ")
+        decoded = F.replace(decoded, F.lit(entity), F.lit(char))
+    s = F.when(s.contains("&"), decoded).otherwise(s)
+    # Single spaces collapse to themselves: rewrite only if a tab/CR/LF
+    # or a double space is present.
+    s = F.when(s.rlike("[\t\r\n]|  "), F.regexp_replace(s, WS_PATTERN, " ")).otherwise(s)
     return F.trim(s)
 
 
