@@ -26,6 +26,7 @@ sys.path.insert(0, str(REPO))
 RUNNER = r"""
 import json, sys, time
 sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
 from keras_ocr_spark.plans.session import build_session
 from keras_ocr_spark.plans.pipeline import extract
 
@@ -34,20 +35,26 @@ spark = build_session(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
                       shuffle_partitions=max(cores, 8))
 src = spark.read.parquet(inp)
 n_turns = src.count()
+
+def force(df):
+    # count() would let Catalyst PRUNE the decode work entirely —
+    # checksum aggregates force full materialization of every column.
+    row = df.select(F.count("*").alias("n"), F.sum(F.length("clean_text")).alias("chars"),
+                    F.sum(F.size("spans")).alias("spans")).collect()[0]
+    return row
+
 # warmup x2: JIT + codegen + Python worker pool spin-up (same query shape).
-# n_salt=0: stage 1 is per-turn embarrassingly parallel, so the default
-# plan has NO pre-shuffle (the salted repartition is the opt-in remedy
-# for skewed INPUT LAYOUTS — it costs one full-data shuffle and is
-# exercised separately in tests/test_parity.py). The only exchange here
-# is the per-turn reassembly agg of already-cleaned rows.
-extract(src.limit(2000)).count()
-extract(src.limit(2000)).count()
+# Default plan is MAP-ONLY (fused per-row decode+reassembly): no shuffle
+# anywhere; the salted repartition stays the opt-in remedy for skewed
+# INPUT LAYOUTS (exercised in tests/test_parity.py).
+force(extract(src.limit(2000)))
+force(extract(src.limit(2000)))
 samples = []
 for _ in range(reps):
     t0 = time.perf_counter()
-    n_out = extract(src).count()
+    row = force(extract(src))
     dt = time.perf_counter() - t0
-    assert n_out == n_turns, (n_out, n_turns)
+    assert row["n"] == n_turns, (row, n_turns)
     samples.append(dt)
     print(f"  sample local[{{cores}}]: {{dt:.2f}}s", file=sys.stderr, flush=True)
 best = min(samples)

@@ -780,3 +780,38 @@ def q_sha256_manifest(spark, sf_dir):
     uses the same primitive."""
     docs = _t(spark, sf_dir, "documents")
     return docs.select(_b("doc_id"), F.sha2(F.col("text"), 256).alias("text_sha"))
+
+
+@register(
+    "salted_user_stats",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE) AS total_value,
+           CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS first_us,
+           CAST(max(epoch_us(ts)) AS BIGINT) AS last_us
+    FROM events GROUP BY user_id
+    """,
+)
+def q_salted_user_stats(spark, sf_dir):
+    """Two-phase salted aggregation (skew remedy for hot grouping keys,
+    SURVEY.md §7 step 3): phase 1 groupBy(key, salt) partials, phase 2
+    merge — algebraically identical to the direct groupBy, which is what
+    the oracle computes."""
+    ev = _t(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.col("event_id"), F.lit(8)))
+    partial = salted.groupBy("user_id", "_salt").agg(
+        F.count("*").alias("_n"),
+        F.sum("value").alias("_v"),
+        F.collect_set("event_type").alias("_types"),
+        F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_min_us"),
+        F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias("_max_us"),
+    )
+    return partial.groupBy("user_id").agg(
+        F.sum("_n").cast("long").alias("n_events"),
+        pround(F.sum("_v"), 2).alias("total_value"),
+        F.size(F.array_distinct(F.flatten(F.collect_list("_types")))).cast("long").alias("n_types"),
+        F.min("_min_us").cast("long").alias("first_us"),
+        F.max("_max_us").cast("long").alias("last_us"),
+    ).select(_b("user_id"), "n_events", "total_value", "n_types", "first_us", "last_us")

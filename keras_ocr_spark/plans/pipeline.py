@@ -10,10 +10,15 @@ lazy DataFrame plan so Catalyst fuses/prunes across stages:
          -> groupBy(conv_id, turn_idx) ordered reassembly
 
 Physical shape (verified in tests/test_plan_shape.py):
-- exactly ONE ArrowEvalPython node (stage 1); stage 2 + reassembly prep
-  stay inside WholeStageCodegen;
-- exactly ONE required shuffle (the final per-turn aggregation), plus the
-  optional explicit salt repartition;
+- the DEFAULT plan is MAP-ONLY: scan -> one ArrowEvalPython node (stage
+  1) -> fused per-row decode+reassembly (operators/fused.py). ZERO
+  exchanges — a turn's spans already sit together in one array cell, so
+  re-association needs no shuffle. Scales exactly like the scan.
+- the optional salted repartition (skewed input layouts) adds exactly
+  one exchange;
+- ``extract_exploded`` keeps the span-row plan (explode -> decode ->
+  groupBy reassembly) for span-level analytics; it equals the fused
+  plan frame-for-frame (tests/test_parity.py).
 - the scan reads only the columns the plan needs (conv_id, turn_idx,
   text) — column pruning reaches the parquet reader.
 """
@@ -25,6 +30,7 @@ from pyspark.sql import DataFrame
 from ..config import DEFAULT_CONFIG, ExtractionConfig
 from ..operators.decode import decode
 from ..operators.detect import detect
+from ..operators.fused import decode_reassemble_fused
 from ..operators.reassemble import reassemble
 
 
@@ -34,12 +40,26 @@ def extract(
     n_salt: int = 0,
     num_partitions: int | None = None,
 ) -> DataFrame:
-    """Transcripts -> (conv_id, turn_idx, clean_text, spans).
+    """Transcripts -> (conv_id, turn_idx, clean_text, spans). Map-only.
 
     Per-turn output equals ``core.oracle.extract_turn`` exactly (parity
     suite: tests/test_parity.py). ``n_salt``>0 adds the explicit salted
     repartition on (conv_id, salt) before stage 1 (north-rule skew
-    handling; AQE covers the rest at runtime).
+    handling for skewed input layouts; AQE covers the rest at runtime).
     """
+    slim = df.select("conv_id", "turn_idx", "text")
+    return decode_reassemble_fused(detect(slim, cfg=cfg, n_salt=n_salt, num_partitions=num_partitions))
+
+
+def extract_exploded(
+    df: DataFrame,
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+    n_salt: int = 0,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """The span-row variant (flatten-then-re-slice,
+    ``recognition.py:504-537`` analog): posexplode -> JVM decode ->
+    per-turn groupBy reassembly. Same output frame as :func:`extract`;
+    use when downstream wants per-span rows (evaluation joins)."""
     slim = df.select("conv_id", "turn_idx", "text")
     return reassemble(decode(detect(slim, cfg=cfg, n_salt=n_salt, num_partitions=num_partitions)))

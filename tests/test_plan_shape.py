@@ -7,8 +7,9 @@ Asserts properties of `.explain()` output that matter at 100 TB:
   reassembly prep stay JVM-side;
 - pure-expression operators (textstats, simhash, minhash signatures)
   have NO exchange and NO Python nodes at all;
-- the flagship plan has exactly one required shuffle (the per-turn
-  aggregation) when salting is off.
+- the flagship (fused) plan is MAP-ONLY — zero exchanges; the exploded
+  variant keeps exactly one (the per-turn aggregation) with map-side
+  partial aggregation before it.
 """
 
 import re
@@ -60,18 +61,21 @@ class TestFlagshipPlan:
         assert n_nodes(plan, "ArrowEvalPython") == 1  # stage 1 only
         assert "BatchEvalPython" not in plan  # no row-at-a-time Python
 
-    def test_single_required_shuffle(self, spark, transcripts_path):
+    def test_default_plan_is_map_only(self, spark, transcripts_path):
+        # The fused plan has NO shuffle: a turn's spans sit together in
+        # one array cell, so re-association is per-row.
         df = extract(spark.read.parquet(transcripts_path))  # n_salt=0
         plan = plan_of(df)
-        assert n_nodes(plan, "Exchange") == 1  # only the per-turn groupBy
+        assert n_nodes(plan, "Exchange") == 0
 
-    def test_map_side_partial_aggregation(self, spark, transcripts_path):
-        # collect_list partials run BEFORE the exchange (shuffle carries
-        # partially-aggregated buffers, not raw span rows).
-        plan = plan_of(extract(spark.read.parquet(transcripts_path)))
+    def test_exploded_variant_single_shuffle_with_partial_agg(self, spark, transcripts_path):
+        # The span-row variant keeps the flatten-then-re-slice shape:
+        # one exchange, with map-side partial collect_list BEFORE it.
+        from keras_ocr_spark.plans.pipeline import extract_exploded
+
+        plan = plan_of(extract_exploded(spark.read.parquet(transcripts_path)))
+        assert n_nodes(plan, "Exchange") == 1
         assert "partial_collect_list" in plan
-        # Node ids number leaf->root: the partial-agg node must sit
-        # BELOW the exchange node.
         exchange_id = int(re.search(r"\((\d+)\) Exchange\b", plan).group(1))
         partial_block = plan[: plan.index("partial_collect_list")]
         partial_id = int(re.findall(r"\((\d+)\) \w+", partial_block)[-1])
@@ -80,7 +84,7 @@ class TestFlagshipPlan:
     def test_salting_adds_exactly_one_exchange(self, spark, transcripts_path):
         df = extract(spark.read.parquet(transcripts_path), n_salt=8)
         plan = plan_of(df)
-        assert n_nodes(plan, "Exchange") == 2
+        assert n_nodes(plan, "Exchange") == 1
 
     def test_wholestage_codegen_covers_decode(self, spark, transcripts_path):
         # Codegen-mode explain lists the fused subtrees (AQE hides them
