@@ -31,8 +31,14 @@ from keras_ocr_spark.plans.session import build_session
 from keras_ocr_spark.plans.pipeline import extract
 
 cores = int(sys.argv[1]); inp = sys.argv[2]; reps = int(sys.argv[3])
+# Bench-scale inputs are ~100 MB: the 128 MB default maxPartitionBytes
+# bin-packs the whole scan into 2-3 partitions, capping a MAP-ONLY plan
+# at 3 concurrent tasks regardless of cores. Size split bytes to the SF
+# so scan parallelism >= cores (at 100 TB the default is correct).
 spark = build_session(app_name=f"scaling_{{cores}}", master=f"local[{{cores}}]",
-                      shuffle_partitions=max(cores, 8))
+                      shuffle_partitions=max(cores, 8),
+                      extra_conf={{"spark.sql.files.maxPartitionBytes": "2m",
+                                   "spark.sql.files.openCostInBytes": "512k"}})
 src = spark.read.parquet(inp)
 n_turns = src.count()
 

@@ -65,7 +65,17 @@ def main() -> int:
     args = ap.parse_args()
 
     sf = sf_from_dir(args.sf_dir)
-    spark = build_session(app_name="bench", master=f"local[{args.cpus}]", shuffle_partitions=max(args.cpus, 8))
+    # Bench-scale scans must split finely enough to use every core (the
+    # 128 MB default bins a ~100 MB input into ~3 partitions).
+    spark = build_session(
+        app_name="bench",
+        master=f"local[{args.cpus}]",
+        shuffle_partitions=max(args.cpus, 8),
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "2m",
+            "spark.sql.files.openCostInBytes": "512k",
+        },
+    )
 
     queries: dict[str, float] = {}
     total = 0.0
