@@ -82,6 +82,26 @@ class TestFrameParity:
         assert got == want and len(got) == 700
 
 
+class TestFusedEqualsExploded:
+    """The map-only fused plan and the span-row exploded plan are two
+    physical strategies for the same logical operator — frames must be
+    identical (cf. the reference's two CRAFT builds agreeing,
+    tests/test_pytorch_keras.py)."""
+
+    def test_same_frame(self, spark):
+        from keras_ocr_spark.plans.pipeline import extract_exploded
+
+        df = spark_transcripts(spark, n_convs=10, make_skewed=False)
+
+        def norm(rows):
+            return sorted(
+                (r.conv_id, r.turn_idx, r.clean_text, tuple((s.start, s.end) for s in r.spans))
+                for r in rows
+            )
+
+        assert norm(extract(df).collect()) == norm(extract_exploded(df).collect())
+
+
 class TestSaltInvariance:
     def test_salting_does_not_change_results(self, spark):
         df = spark_transcripts(spark, n_convs=5, make_skewed=False)
