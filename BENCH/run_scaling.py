@@ -143,16 +143,22 @@ def main() -> int:
     from keras_ocr_spark.plans.session import build_session
     from keras_ocr_spark.sources.transcripts import generate_pandas
 
-    inp = "/tmp/scaling_transcripts.parquet"
-    print(f"generating {args.convs} conversations ...", flush=True)
-    spark = build_session(app_name="gen", master="local[8]")
-    pdf = generate_pandas(n_convs=args.convs, seed=42, make_skewed=True)
-    spark.createDataFrame(
-        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
-    ).repartition(64).write.mode("overwrite").parquet(inp)
-    n_turns = len(pdf)
-    spark.stop()
-    print(f"input: {n_turns} turns", flush=True)
+    inp = f"/tmp/scaling_transcripts_{args.convs}.parquet"
+    marker = Path(inp + ".turns")
+    if marker.exists():
+        n_turns = int(marker.read_text())
+        print(f"reusing {inp}: {n_turns} turns", flush=True)
+    else:
+        print(f"generating {args.convs} conversations ...", flush=True)
+        spark = build_session(app_name="gen", master="local[8]")
+        pdf = generate_pandas(n_convs=args.convs, seed=42, make_skewed=True)
+        spark.createDataFrame(
+            pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        ).repartition(64).write.mode("overwrite").parquet(inp)
+        n_turns = len(pdf)
+        spark.stop()
+        marker.write_text(str(n_turns))
+        print(f"input: {n_turns} turns", flush=True)
 
     print("hardware-ceiling control ...", flush=True)
     ceiling = hardware_ceiling(args.n, args.four_n)
