@@ -96,12 +96,23 @@ def minhash_signatures(
 
     Entirely per-row (higher-order functions): NO shuffle — at 100 TB
     this stage is a pure map over the scan.
+
+    Plan hygiene: shingles materialize ONCE in their own projection and
+    the signature is ONE nested transform over seed indices — inlining
+    the shingle expression per component (16x) made Catalyst optimize +
+    codegen a pathologically large tree (~90s for 500 rows).
     """
-    shingles = shingles_expr(words_expr(F.col(text_col)), k)
-    sig = F.array(*[minhash_expr(shingles, seed) for seed in range(n_hashes)])
-    return df.select(F.col(id_col).alias("id"), sig.alias("signature")).filter(
-        ~F.array_contains(F.transform("signature", F.isnull), True)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(words_expr(F.col(text_col)), k).alias("_shingles"),
+    ).filter(F.size("_shingles") > 0)
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform("_shingles", lambda s: F.md5(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
     )
+    return staged.select("id", sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
