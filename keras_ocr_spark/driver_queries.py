@@ -45,6 +45,15 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents, split for per-row expression-heavy work: the sf tables
+    are single tiny files (1-2 scan partitions), which would starve a
+    32-core run of parallelism for md5-heavy map ops. At 100 TB the scan
+    itself provides the partitions and this repartition disappears."""
+    spark_parallelism = spark.sparkContext.defaultParallelism
+    return _t(spark, sf_dir, "documents").repartition(spark_parallelism)
+
+
 def _b(col):
     return F.col(col).cast("long").alias(col)
 
@@ -436,7 +445,7 @@ def q_extract_documents(spark, sf_dir):
     """,
 )
 def q_dedup_exact(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = D.exact_dedup(docs)
     return out.select("text_hash", F.col("keeper_id").cast("long").alias("keeper_id"), F.col("n_dups").cast("long").alias("n_dups"))
 
@@ -467,7 +476,7 @@ _SHINGLES_SQL = """
     """,
 )
 def q_dedup_ngram_jaccard(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = D.ngram_jaccard_pairs(docs, threshold=0.5)
     return out.select(
         F.col("id_a").cast("long").alias("id_a"),
@@ -477,7 +486,12 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def _minhash_sql_components(n: int) -> str:
-    return ", ".join(f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))" for i in range(n))
+    # Mirrors operators.dedup.minhash_signatures: one 64-hex digest per
+    # shingle (md5(s) || md5(s||'#')), components = minima over disjoint
+    # 4-hex windows.
+    return ", ".join(
+        f"list_min(list_transform(digests, d -> substr(d, {4 * i + 1}, 4)))" for i in range(n)
+    )
 
 
 def _band_sql_values(n_bands: int, rows: int) -> str:
@@ -493,9 +507,11 @@ def _band_sql_values(n_bands: int, rows: int) -> str:
     "dedup_minhash_lsh",
     f"""
     WITH sh0 AS ({_SHINGLES_SQL}),
-    sig AS (
-      SELECT id, [{_minhash_sql_components(16)}] AS signature
+    digs AS (
+      SELECT id, list_transform(shingles, s -> md5(s) || md5(s || '#')) AS digests
       FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature FROM digs),
     bands AS (
       SELECT id, b.band_idx, b.band_key
       FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key))
@@ -505,7 +521,7 @@ def _band_sql_values(n_bands: int, rows: int) -> str:
     """,
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs, n_hashes=16)
     out = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
     return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
@@ -530,7 +546,7 @@ def _simhash_sql() -> str:
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     out = D.simhash_fingerprints(docs)
     return out.select(F.col("id").cast("long").alias("id"), F.col("simhash").cast("long").alias("simhash"))
 

@@ -51,6 +51,9 @@ class TestNgramJaccard:
 class TestMinHashLSH:
     def test_signature_shape_and_determinism(self, docs):
         sigs = D.minhash_signatures(docs, n_hashes=16).collect()
+        # pandas and pure-SQL engines agree value for value
+        sql_sigs = {r.id: list(r.signature) for r in D.minhash_signatures_sql(docs, n_hashes=16).collect()}
+        assert {r.id: list(r.signature) for r in sigs} == sql_sigs
         assert all(len(r.signature) == 16 for r in sigs)
         assert {r.id for r in sigs} == {0, 1, 2, 3}  # doc 4 has no shingles
         by_id = {r.id: r.signature for r in sigs}

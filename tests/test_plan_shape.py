@@ -118,7 +118,7 @@ class TestExpressionOperatorsStayJvmSide:
             lambda d: TS.quality_scores(d),
             lambda d: TS.token_counts(d),
             lambda d: TS.fingerprints(d),
-            lambda d: D.minhash_signatures(d),
+            lambda d: D.minhash_signatures_sql(d),
             lambda d: D.simhash_fingerprints(d),
         ],
         ids=["lang", "quality", "tokens", "fingerprint", "minhash_sigs", "simhash"],
