@@ -180,9 +180,14 @@ def main() -> int:
     lo.quit()
     hi.quit()
 
-    best = max(pairs, key=lambda p: p["pair_efficiency"])
+    # Headline = min-wall per level: each level's quietest sample is its
+    # least host-stolen measurement of identical work. (The best single
+    # PAIR is gameable in the other direction — a noise-inflated N side
+    # fabricates efficiency > 1 — so pairs are recorded for transparency
+    # but the headline uses per-level minima.)
     best_n = min(p["t_n"] for p in pairs)
     best_4n = min(p["t_4n"] for p in pairs)
+    eff = best_n / ((args.four_n / args.n) * best_4n)
     result = {
         "timestamp": t_start,
         "turns": n_turns,
@@ -190,15 +195,14 @@ def main() -> int:
         "four_n_cores": args.four_n,
         "hardware_ceiling": ceiling,
         "pairs": pairs,
-        "best_pair": best,
+        "best_wall_at_n": best_n,
+        "best_wall_at_4n": best_4n,
         "throughput_at_n": round(n_turns / best_n, 1),
         "throughput_at_4n": round(n_turns / best_4n, 1),
-        "scaling_efficiency": best["pair_efficiency"],
-        "scaling_efficiency_vs_hw_ceiling": round(
-            best["pair_efficiency"] / ceiling["ceiling_efficiency"], 3
-        ),
+        "scaling_efficiency": round(eff, 3),
+        "scaling_efficiency_vs_hw_ceiling": round(eff / ceiling["ceiling_efficiency"], 3),
         "target": ">= 0.8",
-        "pass": best["pair_efficiency"] >= 0.8,
+        "pass": eff >= 0.8,
     }
     print(json.dumps(result, indent=2))
     (REPO / "BENCH/scaling.json").write_text(json.dumps(result, indent=2) + "\n")
@@ -223,11 +227,11 @@ VM. Full materialization is forced via checksum aggregates.
   itself scales {args.n}->{args.four_n} procs at
   **{ceiling['ceiling_efficiency']}** efficiency (CPU steal on the
   shared VM) — this bounds ANY job's achievable figure
-- best paired sample: N={best['t_n']}s, 4N={best['t_4n']}s ->
-  **scaling efficiency = {best['pair_efficiency']}**
+- quietest samples: N={best_n}s, 4N={best_4n}s ->
+  **scaling efficiency = {result['scaling_efficiency']}**
   ({"PASS" if result['pass'] else "FAIL"} vs target >= 0.8;
   {result['scaling_efficiency_vs_hw_ceiling']} of the hardware ceiling)
-- all pairs: {json.dumps([p['pair_efficiency'] for p in pairs])}
+- all pair samples (t_N, t_4N): {json.dumps([(p['t_n'], p['t_4n']) for p in pairs])}
 - measured: {t_start}
 """
     (REPO / "BENCH/BASELINE.md").write_text(md)
