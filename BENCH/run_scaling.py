@@ -11,10 +11,10 @@ minute to minute):
    measures what the BOX gives N vs 4N processes (no Spark). This bounds
    any job's achievable efficiency and documents host steal.
 2. **Lock-step paired sampling**: BOTH Spark JVMs (local[N], local[4N])
-   stay alive; reps alternate N, 4N, N, 4N... so each pair shares one
-   noise window. Per-pair efficiency = t_N / (4 * t_4N); the reported
-   figure is the best pair (the least-contended window — standard
-   noisy-host practice), with every sample recorded for transparency.
+   stay alive; reps alternate N, 4N, N, 4N... All samples are recorded;
+   the HEADLINE efficiency uses each level's minimum wall time (its
+   least host-stolen sample of identical work — standard noisy-host
+   practice; a single "best pair" would be noise-gameable upward).
 3. Full materialization: checksum aggregates over clean_text/spans, so
    Catalyst cannot prune the decode work (count() would).
 
