@@ -52,3 +52,34 @@ def conv_stats(df: DataFrame, n_salt: int = 0) -> DataFrame:
         F.min("_min_ts").alias("first_ts"),
         F.max("_max_ts").alias("last_ts"),
     )
+
+
+def conv_profile(df: DataFrame) -> DataFrame:
+    """Per-conversation profile via grouped-map ``applyInPandas`` — the
+    ``compute_maps``-style per-group kernel surface
+    (``/root/reference/keras_ocr/detection.py:106-198`` runs a Python
+    kernel per training sample; here the group is a conversation).
+
+    Use sparingly: per-conversation grouping re-concentrates skew, so
+    anything expressible as plain aggregates should use
+    :func:`conv_stats` instead. This exists for genuinely imperative
+    per-group logic (here: inter-turn gap statistics needing ordered
+    diffs).
+    """
+    import pandas as pd
+
+    def profile(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("turn_idx")
+        gaps = pdf["ts"].diff().dt.total_seconds().dropna()
+        return pd.DataFrame(
+            {
+                "conv_id": [pdf["conv_id"].iloc[0]],
+                "n_turns": [len(pdf)],
+                "mean_gap_sec": [float(gaps.mean()) if len(gaps) else 0.0],
+                "max_gap_sec": [float(gaps.max()) if len(gaps) else 0.0],
+            }
+        )
+
+    return df.groupBy("conv_id").applyInPandas(
+        profile, schema="conv_id string, n_turns long, mean_gap_sec double, max_gap_sec double"
+    )
