@@ -831,3 +831,42 @@ def q_salted_user_stats(spark, sf_dir):
         F.min("_min_us").cast("long").alias("first_us"),
         F.max("_max_us").cast("long").alias("last_us"),
     ).select(_b("user_id"), "n_events", "total_value", "n_types", "first_us", "last_us")
+
+
+_PAIR_COS_SQL = """
+    floor(
+      list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+      / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+       * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))))
+      * 100000 + 0.5) / 100000
+"""
+
+
+@register(
+    "embedding_neardup",
+    f"""
+    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+           CAST({_PAIR_COS_SQL} AS DOUBLE) AS cosine
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_PAIR_COS_SQL} >= CAST(0.35 AS DOUBLE)
+    """,
+)
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
+    the LSH-bucketed scale path is operators.similarity.all_pairs_above,
+    verified in tests). Left-to-right double folds are bit-identical
+    across engines, so even the cosine filter matches exactly."""
+    from .functions.hashing import dot_expr, norm_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    va = F.transform(F.col("va"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+    cos = pround(dot_expr(va, vb) / (norm_expr(va) * norm_expr(vb)), 5)
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= 0.35)
+        .select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"), F.col("cosine").cast("double").alias("cosine"))
+    )
