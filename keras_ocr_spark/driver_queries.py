@@ -288,14 +288,27 @@ def q_interval_join_events(spark, sf_dir):
 )
 def q_levenshtein_pairs(spark, sf_dir):
     """Edit-distance similarity — evaluation.py:116-123 via built-in
-    levenshtein."""
+    levenshtein.
+
+    Scale shape: the length band ``abs(len(a)-len(b)) <= 5`` rides INSIDE
+    the join condition — a necessary condition for lev <= 5 (each insert/
+    delete changes length by 1), so it prunes the within-brand cross
+    product before the O(len^2) levenshtein evaluates, without changing
+    the result set. Spark 4 also caps the DP early via the 3-arg
+    ``levenshtein(a, b, threshold)`` form."""
     p = _t(spark, sf_dir, "part")
     a = p.alias("a")
     b = p.alias("b")
-    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    lev = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 5)
+    band = F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name"))) <= 5
     return (
-        a.join(b, (F.col("a.p_brand") == F.col("b.p_brand")) & (F.col("a.p_partkey") < F.col("b.p_partkey")))
-        .filter(lev <= 5)
+        a.join(
+            b,
+            (F.col("a.p_brand") == F.col("b.p_brand"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+            & band,
+        )
+        .filter((lev <= 5) & (lev >= 0))
         .select(
             F.col("a.p_partkey").cast("long").alias("id_a"),
             F.col("b.p_partkey").cast("long").alias("id_b"),
@@ -842,31 +855,88 @@ _PAIR_COS_SQL = """
 """
 
 
+def _lsh_bucket_sql(vec: str, dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    """DuckDB twin of operators.similarity.lsh_bucket_expr: the SAME
+    integer plane literals, the same round(x*1000) embedding quantization
+    — bucket ids match Spark bit for bit."""
+    terms = []
+    for p, plane in enumerate(S.quantized_planes(dim, n_planes, seed)):
+        ints = "[" + ", ".join(str(v) for v in plane) + "]"
+        qdot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), "
+            f"i -> CAST(round(CAST({vec}[i] AS DOUBLE) * {S.VEC_SCALE}) AS BIGINT) * ({ints}[i])))"
+        )
+        terms.append(f"CASE WHEN {qdot} > 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(terms) + ")"
+
+
 @register(
     "embedding_neardup",
     f"""
-    SELECT CAST(a.vec_id AS BIGINT) AS id_a, CAST(b.vec_id AS BIGINT) AS id_b,
+    WITH bucketed AS (
+      SELECT vec_id AS id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings)
+    SELECT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
            CAST({_PAIR_COS_SQL} AS DOUBLE) AS cosine
-    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.id < b.id
     WHERE {_PAIR_COS_SQL} >= CAST(0.35 AS DOUBLE)
     """,
 )
 def q_embedding_neardup(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs (exact all-pairs baseline;
-    the LSH-bucketed scale path is operators.similarity.all_pairs_above,
-    verified in tests). Left-to-right double folds are bit-identical
-    across engines, so even the cosine filter matches exactly."""
-    from .functions.hashing import dot_expr, norm_expr
+    """Embedding-cosine near-duplicate pairs — the LSH-bucketed SCALE
+    path (operators.similarity.all_pairs_above): quantized-hyperplane
+    buckets, ONE equi-join on the bucket key (no cartesian anywhere),
+    exact cosine on candidates only. The oracle reproduces the buckets
+    with the same integer arithmetic; pytest cross-checks recall against
+    the exact all-pairs join at sf (tests/test_operators.py)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = S.all_pairs_above(emb, threshold=-1.0, n_planes=6, seed=42, dim=64)
+    return (
+        pairs.withColumn("cosine_r", pround(F.col("cosine"), 5))
+        .filter(F.col("cosine_r") >= 0.35)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("cosine_r").cast("double").alias("cosine"),
+        )
+    )
+
+
+@register(
+    "ann_topk_multiprobe",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT CAST(e.vec_id AS BIGINT) AS id, CAST({_QDOT_SQL} AS BIGINT) AS qdot
+    FROM bucketed e, q
+    WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.bucket)) <= 1
+    ORDER BY qdot DESC, id LIMIT 10
+    """,
+)
+def q_ann_topk_multiprobe(spark, sf_dir):
+    """Multiprobe LSH ANN: candidates = the query's bucket plus every
+    Hamming-1 neighbor bucket (one flipped hyperplane), then exact
+    integer-quantized scoring of candidates only. The Hamming filter is
+    expressed as bit_count(bucket XOR q_bucket) <= 1 so both engines
+    derive the probe set from the data; at 100 TB the probe list is
+    materialized driver-side instead and prunes bucket-partitioned files
+    (similarity.probe_buckets)."""
+    from .functions.hashing import quantized_dot_expr
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    va = F.transform(F.col("va"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
-    cos = pround(dot_expr(va, vb) / (norm_expr(va) * norm_expr(vb)), 5)
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= 0.35)
-        .select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"), F.col("cosine").cast("double").alias("cosine"))
+    bucketed = emb.withColumn("bucket", S.lsh_bucket_expr(F.col("embedding"), 64, 6, 42))
+    qrow = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )
+    cands = (
+        bucketed.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qrow))
+        .filter(F.bit_count(F.col("bucket").bitwiseXOR(F.col("q_bucket"))) <= 1)
+    )
+    scored = cands.select(
+        F.col("vec_id").cast("long").alias("id"),
+        quantized_dot_expr(F.col("embedding"), F.col("q_embedding")).alias("qdot"),
+    )
+    return scored.orderBy(F.desc("qdot"), F.asc("id")).limit(10)

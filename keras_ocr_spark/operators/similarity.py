@@ -7,9 +7,16 @@ Two paths, as a 100 TB pipeline needs both:
   top-k. Correct at any scale, O(N) per query; use for small N or as
   the verifier for the bucketed path.
 - **LSH-bucketed ANN** — random-hyperplane signs bucket vectors; queries
-  only score their own bucket (and its neighbors). Hyperplanes are
-  deterministic (seeded md5-derived pseudo-random components) so the
-  index is reproducible and shippable via --py-files.
+  score their own bucket plus every Hamming-1 neighbor bucket
+  (multiprobe — vectors just across one hyperplane stay visible).
+
+Bucket determinism is cross-engine EXACT: hyperplanes are md5-seeded
+and quantized to integers, embeddings are quantized with the same
+``round(x*1000)`` both Spark and DuckDB implement (half away from zero),
+so the bucket id is integer arithmetic — identical in Spark, DuckDB and
+plain Python. That makes the bucketed operators oracle-checkable, and at
+100 TB the bucket column doubles as a partition/bucketing key (compute
+once at ingest, prune at query time).
 
 Also exact quantized-dot variants (integer arithmetic) used for the
 cross-engine DuckDB oracles, where float summation order would otherwise
@@ -22,10 +29,17 @@ import hashlib
 import math
 from typing import List, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.hashing import dot_expr, norm_expr, quantized_dot_expr
+
+#: Embedding quantization scale — must match ``quantized_dot_expr`` and
+#: the DuckDB oracle SQL (``round(x*1000)``).
+VEC_SCALE = 1000
+#: Hyperplane component quantization scale. Plane ints are literals
+#: shared verbatim by both engines, so this only affects resolution.
+PLANE_SCALE = 1_000_000
 
 
 def cosine_expr(a, b):
@@ -59,7 +73,7 @@ def brute_force_topk_quantized(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    scale: int = 1000,
+    scale: int = VEC_SCALE,
 ) -> DataFrame:
     """Exact top-k by INTEGER-quantized dot product (cross-engine exact)."""
     q = F.array(*[F.lit(float(x)) for x in query_vec])
@@ -87,13 +101,73 @@ def _hyperplane(dim: int, seed: int) -> List[float]:
     return [v / norm for v in vals]
 
 
-def lsh_bucket_expr(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
-    """Random-hyperplane LSH bucket id (0 .. 2^n_planes-1) as a column."""
+def quantized_planes(dim: int, n_planes: int, seed: int = 42) -> List[List[int]]:
+    """The n_planes md5-seeded hyperplanes as integer component lists.
+
+    These ints are emitted as literals into BOTH the Spark plan and the
+    DuckDB oracle SQL, so the sign tests (hence buckets) agree exactly.
+    """
+    return [
+        [_round_half_away(v * PLANE_SCALE) for v in _hyperplane(dim, seed * 1000 + p)]
+        for p in range(n_planes)
+    ]
+
+
+def _round_half_away(x: float) -> int:
+    """round() half-away-from-zero — the semantics of Spark F.round and
+    DuckDB round() (Python's built-in round is banker's, so not usable)."""
+    return int(math.floor(abs(x) + 0.5)) * (1 if x >= 0 else -1)
+
+
+def _qvec(vec: Sequence[float]) -> List[int]:
+    return [_round_half_away(float(x) * VEC_SCALE) for x in vec]
+
+
+def _plane_qdot_expr(vec_col: Column, plane: List[int]) -> Column:
+    """Integer dot of round(vec*VEC_SCALE) with an integer plane —
+    per-row JVM array algebra, exact in every engine."""
+    arr = F.array(*[F.lit(int(v)) for v in plane])
+    return F.aggregate(
+        F.zip_with(vec_col, arr, lambda x, y: F.round(x.cast("double") * VEC_SCALE).cast("long") * y),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket_expr(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Random-hyperplane LSH bucket id (0 .. 2^n_planes-1) as a column.
+
+    Quantized-integer sign tests — deterministic and cross-engine exact
+    (see module docstring)."""
+    planes = quantized_planes(dim, n_planes, seed)
     bucket = F.lit(0)
-    for p in range(n_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, seed * 1000 + p)])
-        bucket = bucket + F.when(dot_expr(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    for p, plane in enumerate(planes):
+        bucket = bucket + F.when(_plane_qdot_expr(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_py(vec: Sequence[float], n_planes: int, seed: int = 42) -> int:
+    """Same bucket id computed in plain Python (same integer arithmetic)."""
+    qv = _qvec(vec)
+    bucket = 0
+    for p, plane in enumerate(quantized_planes(len(qv), n_planes, seed)):
+        if sum(x * y for x, y in zip(qv, plane)) > 0:
+            bucket |= 1 << p
+    return bucket
+
+
+def probe_buckets(bucket: int, n_planes: int, max_hamming: int = 1) -> List[int]:
+    """Multiprobe set: the bucket itself plus all buckets within Hamming
+    distance ``max_hamming`` (default 1 — flip each hyperplane once).
+    At 100 TB this set drives partition pruning on the bucket key."""
+    probes = {bucket}
+    if max_hamming >= 1:
+        probes.update(bucket ^ (1 << p) for p in range(n_planes))
+    if max_hamming >= 2:
+        for i in range(n_planes):
+            for j in range(i + 1, n_planes):
+                probes.add(bucket ^ (1 << i) ^ (1 << j))
+    return sorted(probes)
 
 
 def ann_topk_lsh(
@@ -104,29 +178,27 @@ def ann_topk_lsh(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_hamming: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: score only vectors whose LSH bucket matches the
-    query's bucket (candidate pruning — at 100 TB the bucket column is a
-    partition key so non-matching files are never read)."""
+    """Approximate top-k with MULTIPROBE: score vectors in the query's
+    bucket and every bucket within Hamming ``max_hamming`` of it.
+
+    Single-bucket probing has a recall cliff for vectors just across one
+    hyperplane from the query; Hamming-1 probing recovers them while
+    still scanning n_planes+1 of the 2^n_planes buckets. The probe list
+    is a literal IN-set — at scale it prunes bucket-partitioned files.
+    """
     dim = len(query_vec)
-    q_bucket = _lsh_bucket_py(list(query_vec), dim, n_planes, seed)
+    q_bucket = lsh_bucket_py(list(query_vec), n_planes, seed)
+    probes = probe_buckets(q_bucket, n_planes, max_hamming)
     bucketed = df.withColumn("bucket", lsh_bucket_expr(F.col(vec_col), dim, n_planes, seed))
-    cands = bucketed.filter(F.col("bucket") == F.lit(q_bucket))
+    cands = bucketed.filter(F.col("bucket").isin(probes))
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (
         cands.select(F.col(id_col).alias("id"), cosine_expr(F.col(vec_col), q).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("id"))
         .limit(k)
     )
-
-
-def _lsh_bucket_py(vec: List[float], dim: int, n_planes: int, seed: int) -> int:
-    bucket = 0
-    for p in range(n_planes):
-        plane = _hyperplane(dim, seed * 1000 + p)
-        if sum(x * y for x, y in zip(vec, plane)) > 0:
-            bucket |= 1 << p
-    return bucket
 
 
 def all_pairs_above(
@@ -138,8 +210,16 @@ def all_pairs_above(
     vec_col: str = "embedding",
     dim: int = 64,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: LSH-bucket equi-join (NOT the
-    quadratic cross join), then exact cosine filter on candidates."""
+    """Embedding near-duplicate pairs: LSH-bucket EQUI-join (NOT the
+    quadratic cross join), then exact cosine filter on candidates.
+
+    Plan shape: one shuffle hash/sort-merge join keyed on ``bucket``;
+    the ``id_a < id_b`` dedup is a post-filter on the equi-join. No
+    BroadcastNestedLoopJoin/Cartesian anywhere (asserted in
+    tests/test_plan_shape.py). Approximation is the usual LSH one:
+    a pair is a candidate iff NO hyperplane separates it (all n_planes
+    sign bits equal), which is what the DuckDB oracle computes too.
+    """
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
@@ -147,12 +227,14 @@ def all_pairs_above(
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
+    va = F.transform(F.col("a.vec"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("b.vec"), lambda x: x.cast("double"))
     return (
         a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_expr(F.col("a.vec"), F.col("b.vec")).alias("cosine"),
+            cosine_expr(va, vb).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -117,6 +117,52 @@ class TestSimilarity:
         pairs = S.all_pairs_above(vecs, threshold=0.999, n_planes=4, dim=8).collect()
         assert any((r.id_a, r.id_b) == (7, 99) for r in pairs)
 
+    def test_bucket_python_matches_spark(self, vecs):
+        rows = vecs.withColumn("bucket", S.lsh_bucket_expr(F.col("embedding"), 8, 4, 42)).collect()
+        for r in rows:
+            assert r.bucket == S.lsh_bucket_py(list(r.embedding), 4, 42), r.vec_id
+
+    def test_multiprobe_beats_single_bucket_recall(self, spark):
+        """Hamming-1 probing must recover >= the single-bucket candidate
+        set and reach high recall vs brute force on real-ish data."""
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        query = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        rest = emb.filter(F.col("vec_id") != 0)
+        exact = {r.id for r in S.brute_force_topk(rest, query, k=10).collect()}
+        single = {r.id for r in S.ann_topk_lsh(rest, query, k=10, n_planes=6, max_hamming=0).collect()}
+        multi = {r.id for r in S.ann_topk_lsh(rest, query, k=10, n_planes=6, max_hamming=1).collect()}
+        multi2 = {r.id for r in S.ann_topk_lsh(rest, query, k=10, n_planes=6, max_hamming=2).collect()}
+        # Recall grows monotonically with probe radius (the random-vector
+        # fixture has no true near neighbors, so absolute recall is low by
+        # construction; the cliff fix is the monotone improvement).
+        assert len(multi & exact) >= len(single & exact)
+        assert len(multi2 & exact) >= len(multi & exact)
+        assert len(multi & exact) >= 2
+        assert len(multi2 & exact) >= 5
+
+    def test_all_pairs_bucketed_subset_of_exact_with_recall(self, vecs):
+        """The bucketed near-dup pairs are a subset of the exact all-pairs
+        result, and on near-identical vectors recall is perfect (an exact
+        copy is never separated by any hyperplane)."""
+        got = {(r.id_a, r.id_b) for r in S.all_pairs_above(vecs, threshold=0.999, n_planes=4, dim=8).collect()}
+        a = vecs.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+        b = vecs.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+        va = F.transform(F.col("va"), lambda x: x.cast("double"))
+        vb = F.transform(F.col("vb"), lambda x: x.cast("double"))
+        exact = {
+            (r.id_a, r.id_b)
+            for r in a.join(b, F.col("id_a") < F.col("id_b"))
+            .filter(S.cosine_expr(va, vb) >= 0.999)
+            .collect()
+        }
+        assert got <= exact
+        assert (7, 99) in got  # identical pair always survives bucketing
+
+    def test_all_pairs_plan_is_equi_join(self, vecs):
+        plan = S.all_pairs_above(vecs, threshold=0.9, n_planes=4, dim=8)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+
 
 class TestTextStats:
     @pytest.fixture(scope="class")
