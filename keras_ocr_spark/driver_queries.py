@@ -540,28 +540,102 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
 
 
-def _simhash_sql() -> str:
-    nib = lambda i: f"(strpos('{HEX}', substr(md5(w), {i}, 1)) - 1)"
-    v = f"({nib(1)} * 4096 + {nib(2)} * 256 + {nib(3)} * 16 + {nib(4)})"
+def _simhash64_sql() -> str:
+    """64-bit SimHash terms over a precomputed ``nibs`` column
+    (list of per-word 16-nibble lists) — the DuckDB twin of
+    ``functions.hashing.simhash64_from_nibbles_expr``. Bit 63 contributes
+    -2^63 so the fingerprint is the signed int64 both engines store."""
     bits = []
-    for bit in range(16):
-        p = 1 << bit
-        vote = f"list_sum(list_transform(words, w -> CASE WHEN {v} % {2 * p} >= {p} THEN 1 ELSE -1 END))"
-        bits.append(f"CASE WHEN {vote} > 0 THEN {p} ELSE 0 END")
+    for b in range(64):
+        j = 16 - b // 4  # 1-based nibble index from the left
+        k = b % 4
+        vote = f"list_sum(list_transform(nibs, n -> CASE WHEN (n[{j}] // {1 << k}) % 2 = 1 THEN 1 ELSE -1 END))"
+        contrib = "-9223372036854775808" if b == 63 else str(1 << b)
+        bits.append(f"CASE WHEN {vote} > 0 THEN {contrib} ELSE 0 END")
     return " + ".join(bits)
+
+
+_SIMHASH_NIBS_SQL = f"""
+      SELECT doc_id AS id,
+             list_transform(string_split(text, ' '),
+               w -> list_transform(range(1, 17), i -> strpos('{HEX}', substr(md5(w), i, 1)) - 1)) AS nibs
+      FROM documents
+"""
 
 
 @register(
     "dedup_simhash",
     f"""
-    WITH docs AS (SELECT doc_id AS id, string_split(text, ' ') AS words FROM documents)
-    SELECT CAST(id AS BIGINT) AS id, CAST({_simhash_sql()} AS BIGINT) AS simhash FROM docs
+    WITH nibbed AS ({_SIMHASH_NIBS_SQL})
+    SELECT CAST(id AS BIGINT) AS id, CAST({_simhash64_sql()} AS BIGINT) AS simhash FROM nibbed
     """,
 )
 def q_dedup_simhash(spark, sf_dir):
+    """64-bit SimHash fingerprints (pandas-UDF fast path; the oracle
+    recomputes the identical nibble arithmetic in SQL, so the driver's
+    value hash verifies the UDF kernel directly)."""
     docs = _docs(spark, sf_dir)
     out = D.simhash_fingerprints(docs)
     return out.select(F.col("id").cast("long").alias("id"), F.col("simhash").cast("long").alias("simhash"))
+
+
+# Near-dup input with planted duplicates: documents UNION exact copies
+# (id+100000, every 11th doc) UNION near copies with three appended words
+# (id+200000, every 7th doc) — so the pair set is non-trivial at any sf.
+_SIMHASH_PAIR_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents WHERE doc_id % 11 = 0
+      UNION ALL
+      SELECT doc_id + 200000, text || ' zz qq xx' FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+@register(
+    "simhash_near_pairs",
+    f"""
+    WITH src AS ({_SIMHASH_PAIR_DOCS_SQL}),
+    nibbed AS (
+      SELECT doc_id AS id,
+             list_transform(string_split(text, ' '),
+               w -> list_transform(range(1, 17), i -> strpos('{HEX}', substr(md5(w), i, 1)) - 1)) AS nibs
+      FROM src),
+    fps AS (SELECT id, CAST({_simhash64_sql()} AS BIGINT) AS simhash FROM nibbed),
+    blocks AS (
+      SELECT id, simhash, b.blk, b.key
+      FROM fps, LATERAL (VALUES (0, (simhash >> 0) & 65535), (1, (simhash >> 16) & 65535),
+                                (2, (simhash >> 32) & 65535), (3, (simhash >> 48) & 65535)) AS b(blk, key))
+    SELECT DISTINCT CAST(a.id AS BIGINT) AS id_a, CAST(b.id AS BIGINT) AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM blocks a JOIN blocks b
+      ON a.blk = b.blk AND a.key = b.key AND a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
+def q_simhash_near_pairs(spark, sf_dir):
+    """SimHash near-duplicate pairs: 4x16-bit block equi-join (pigeonhole
+    guarantees every Hamming<=3 pair meets in >=1 block) + exact Hamming
+    filter on candidates. Input plants exact and near copies so the
+    result is non-trivial; the oracle rebuilds fingerprints, blocks and
+    the Hamming filter from scratch in SQL."""
+    docs = _t(spark, sf_dir, "documents")
+    planted = (
+        docs.select("doc_id", "text")
+        .unionByName(docs.filter(F.col("doc_id") % 11 == 0).select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+        .unionByName(
+            docs.filter(F.col("doc_id") % 7 == 0).select(
+                (F.col("doc_id") + 200000).alias("doc_id"),
+                F.concat(F.col("text"), F.lit(" zz qq xx")).alias("text"),
+            )
+        )
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    out = D.simhash_near_pairs(planted, max_hamming=3)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("hamming").cast("long").alias("hamming"),
+    )
 
 
 # ==========================================================================
@@ -844,6 +918,162 @@ def q_salted_user_stats(spark, sf_dir):
         F.min("_min_us").cast("long").alias("first_us"),
         F.max("_max_us").cast("long").alias("last_us"),
     ).select(_b("user_id"), "n_events", "total_value", "n_types", "first_us", "last_us")
+
+
+# ==========================================================================
+# 6b. Evaluation (precision/recall) — reference evaluation.py:56-147
+# ==========================================================================
+
+#: Golden IoU pairs: 1-D analogs of the reference goldens
+#: (/root/reference/tests/test_evaluation.py:4-10): exact 0.25
+#: (quarter-overlap) and 0.0 (touching edges), plus containment/degenerate.
+_IOU_PAIRS = [
+    (1, 0, 3, 2, 4),  # overlap 1, union 4  -> 0.25 (the reference golden)
+    (2, 0, 5, 5, 10),  # touching            -> 0.0  (the reference golden)
+    (3, 0, 10, 5, 15),  # overlap 5, union 15 -> 1/3
+    (4, 0, 4, 1, 3),  # containment         -> 0.5
+    (5, 3, 3, 3, 3),  # degenerate          -> 0.0
+]
+
+
+@register(
+    "span_iou_golden",
+    f"""
+    SELECT CAST(pair_id AS BIGINT) AS pair_id,
+           CAST(coalesce(floor(CAST(greatest(least(e1, e2) - greatest(s1, s2), 0) AS DOUBLE)
+                / CASE WHEN greatest(e1, e2) - least(s1, s2) > 0
+                       THEN greatest(e1, e2) - least(s1, s2) ELSE NULL END * 1000000 + 0.5) / 1000000, 0.0) AS DOUBLE) AS iou
+    FROM (VALUES {", ".join(str(t) for t in _IOU_PAIRS)}) AS v(pair_id, s1, e1, s2, e2)
+    """,
+)
+def q_span_iou_golden(spark, sf_dir):
+    """Span IoU goldens — the polygon-IoU goldens of the reference
+    (0.25 quarter-overlap, 0.0 touching; tests/test_evaluation.py:4-10)
+    recast to 1-D interval arithmetic (evaluation.py:13-53)."""
+    from .evaluation import span_iou_expr
+
+    df = spark.createDataFrame(_IOU_PAIRS, "pair_id int, s1 int, e1 int, s2 int, e2 int")
+    iou = span_iou_expr(F.col("s1"), F.col("e1"), F.col("s2"), F.col("e2"))
+    # floor-round NULL-safe: degenerate unions produce 0.0 on the Spark
+    # side (when-guard) and NULL/0 coalescing on the oracle side.
+    return df.select(_b("pair_id"), pround(iou, 6).alias("iou")).withColumn(
+        "iou", F.coalesce(F.col("iou"), F.lit(0.0))
+    )
+
+
+# Synthesized (true, pred) span tables over documents: two truth spans per
+# doc (one sometimes ignore-flagged), predictions with deterministic
+# offset jitter, a reversed-text corruption (forces near-TPs), a spurious
+# span (FPs) and a conditional second-truth match (FNs when absent).
+# Data-shape precondition: documents.text is >= 41 chars (holds with huge
+# margin in the synthetic tables; guarded in tests/test_entry.py).
+_EVAL_SQL = """
+    WITH t AS (
+      SELECT doc_id AS turn_id, 0 AS span_id, 0 AS s, 20 AS e,
+             substr(text, 1, 20) AS txt, FALSE AS ign FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 20, 40, substr(text, 21, 20), doc_id % 10 = 0 FROM documents),
+    p AS (
+      SELECT doc_id AS turn_id, 0 AS span_id, doc_id % 3 AS s, 20 + doc_id % 3 AS e,
+             CASE WHEN doc_id % 13 = 0 THEN reverse(substr(text, 1 + doc_id % 3, 20))
+                  ELSE substr(text, 1 + doc_id % 3, 20) END AS txt
+      FROM documents
+      UNION ALL
+      SELECT doc_id, 1, 40, 60, substr(text, 41, 20) FROM documents
+      UNION ALL
+      SELECT doc_id, 2, 21, 39, substr(text, 22, 18) FROM documents WHERE doc_id % 5 = 0),
+    cand AS (
+      SELECT t.turn_id, t.span_id AS ts, p.span_id AS ps, t.ign,
+             CASE WHEN coalesce(1.0 - CAST(levenshtein(t.txt, p.txt) AS DOUBLE)
+                                / nullif(greatest(length(t.txt), length(p.txt)), 0), 1.0) >= 0.5
+                  THEN 1 ELSE 0 END AS sim_ok
+      FROM t JOIN p ON t.turn_id = p.turn_id
+      WHERE CAST(greatest(least(t.e, p.e) - greatest(t.s, p.s), 0) AS DOUBLE)
+            / (greatest(t.e, p.e) - least(t.s, p.s)) >= 0.5),
+    truth_flags AS (SELECT turn_id, ts, max(sim_ok) AS any_sim FROM cand GROUP BY turn_id, ts),
+    truth_counts AS (
+      SELECT t.turn_id,
+             sum(CASE WHEN NOT t.ign AND f.any_sim = 1 THEN 1 ELSE 0 END) AS tp,
+             sum(CASE WHEN NOT t.ign AND f.any_sim = 0 THEN 1 ELSE 0 END) AS near_tp,
+             sum(CASE WHEN NOT t.ign AND f.any_sim IS NULL THEN 1 ELSE 0 END) AS fn
+      FROM t LEFT JOIN truth_flags f ON t.turn_id = f.turn_id AND t.span_id = f.ts
+      GROUP BY t.turn_id),
+    fp_counts AS (
+      SELECT p.turn_id, count(*) AS fp
+      FROM p LEFT JOIN (SELECT DISTINCT turn_id, ps FROM cand) m
+        ON p.turn_id = m.turn_id AND p.span_id = m.ps
+      WHERE m.turn_id IS NULL GROUP BY p.turn_id)
+    SELECT CAST(tu.turn_id AS BIGINT) AS turn_id,
+           CAST(coalesce(tc.tp, 0) AS BIGINT) AS tp,
+           CAST(coalesce(f.fp, 0) AS BIGINT) AS fp,
+           CAST(coalesce(tc.fn, 0) AS BIGINT) AS fn,
+           CAST(coalesce(tc.near_tp, 0) AS BIGINT) AS near_tp
+    FROM (SELECT DISTINCT turn_id FROM t UNION SELECT DISTINCT turn_id FROM p) tu
+    LEFT JOIN truth_counts tc ON tu.turn_id = tc.turn_id
+    LEFT JOIN fp_counts f ON tu.turn_id = f.turn_id
+"""
+
+
+@register("eval_score", _EVAL_SQL)
+def q_eval_score(spark, sf_dir):
+    """Per-turn precision/recall counting (evaluation.score,
+    /root/reference/keras_ocr/evaluation.py:56-147) as the join+agg flow
+    of keras_ocr_spark.evaluation.score_by_turn, over (true, pred) span
+    tables synthesized deterministically from documents. Exercises every
+    counting rule: multi-candidate TPs, near-TPs (reversed-text
+    corruption), FNs (absent second-pred), FPs (spurious span), ignore
+    flags."""
+    from .evaluation import score_by_turn
+
+    docs = _t(spark, sf_dir, "documents")
+    text = F.col("text")
+    shift = F.col("doc_id") % 3
+    t0 = docs.select(
+        F.col("doc_id").alias("turn_id"),
+        F.lit(0).alias("span_id"),
+        F.lit(0).alias("start"),
+        F.lit(20).alias("end"),
+        F.substring(text, 1, 20).alias("text"),
+        F.lit(False).alias("ignore"),
+    )
+    t1 = docs.select(
+        F.col("doc_id").alias("turn_id"),
+        F.lit(1).alias("span_id"),
+        F.lit(20).alias("start"),
+        F.lit(40).alias("end"),
+        F.substring(text, 21, 20).alias("text"),
+        (F.col("doc_id") % 10 == 0).alias("ignore"),
+    )
+    jittered = text.substr(shift + F.lit(1), F.lit(20))
+    p0 = docs.select(
+        F.col("doc_id").alias("turn_id"),
+        F.lit(0).alias("span_id"),
+        shift.cast("int").alias("start"),
+        (shift + 20).cast("int").alias("end"),
+        F.when(F.col("doc_id") % 13 == 0, F.reverse(jittered)).otherwise(jittered).alias("text"),
+    )
+    p1 = docs.select(
+        F.col("doc_id").alias("turn_id"),
+        F.lit(1).alias("span_id"),
+        F.lit(40).alias("start"),
+        F.lit(60).alias("end"),
+        F.substring(text, 41, 20).alias("text"),
+    )
+    p2 = docs.filter(F.col("doc_id") % 5 == 0).select(
+        F.col("doc_id").alias("turn_id"),
+        F.lit(2).alias("span_id"),
+        F.lit(21).alias("start"),
+        F.lit(39).alias("end"),
+        F.substring(text, 22, 18).alias("text"),
+    )
+    out = score_by_turn(t0.unionByName(t1), p0.unionByName(p1).unionByName(p2))
+    return out.select(
+        F.col("turn_id").cast("long").alias("turn_id"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("near_tp").cast("long").alias("near_tp"),
+    )
 
 
 _PAIR_COS_SQL = """

@@ -46,33 +46,71 @@ def minhash_expr(shingles: Column, seed: int) -> Column:
     return F.array_min(F.transform(shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))))
 
 
-def simhash_bit_expr(words: Column, bit: int) -> Column:
-    """Signed vote for one SimHash bit: sum over word occurrences of
-    +1/-1 depending on bit ``bit`` of the word's 16-bit md5-derived value.
+import hashlib
 
-    The 16-bit value is built from the first 4 hex nibbles of md5(word)
-    via ``instr`` lookups — portable to DuckDB (``strpos``) nibble for
-    nibble, so the resulting simhash is cross-engine exact.
+SIMHASH_BITS = 64
+
+
+def simhash64_py(text: str | None) -> int | None:
+    """64-bit SimHash of a single-spaced text (pure Python; the pandas-UDF
+    fast path and the cross-engine golden share this).
+
+    Per word, the 64-bit value is the FIRST 16 hex nibbles of md5(word)
+    (nibble 1 = most significant) — exactly what the Spark/DuckDB
+    expression twins rebuild nibble for nibble. The fingerprint is the
+    signed two's-complement int64 (bit 63 contributes -2^63), so it fits
+    LongType/BIGINT in both engines.
     """
-    p = 1 << bit
+    if text is None:
+        return None
+    votes = [0] * SIMHASH_BITS
+    for w in text.split(" "):
+        v = int(hashlib.md5(w.encode()).hexdigest()[:16], 16)
+        for b in range(SIMHASH_BITS):
+            votes[b] += 1 if (v >> b) & 1 else -1
+    u = 0
+    for b in range(SIMHASH_BITS):
+        if votes[b] > 0:
+            u |= 1 << b
+    return u - (1 << 64) if u >= (1 << 63) else u
 
-    def nib(h: Column, i: int) -> Column:
-        return F.instr(F.lit(HEX), F.substring(h, i, 1)) - F.lit(1)
 
-    def vote(w: Column) -> Column:
-        h = F.md5(w)
-        v = nib(h, 1) * 4096 + nib(h, 2) * 256 + nib(h, 3) * 16 + nib(h, 4)
-        return F.when(v % F.lit(2 * p) >= F.lit(p), F.lit(1)).otherwise(F.lit(-1))
+def word_nibbles_expr(words: Column) -> Column:
+    """array<array<int>>: per word, the 16 leading nibble values of
+    md5(word). Materialize this ONCE in its own projection before
+    :func:`simhash64_from_nibbles_expr` — inlining it per bit makes
+    Catalyst optimize a pathologically large tree (same plan-hygiene
+    lesson as minhash_signatures_sql)."""
 
-    return F.aggregate(words, F.lit(0), lambda acc, w: acc + vote(w))
+    def nib(w: Column, i: int) -> Column:
+        return F.instr(F.lit(HEX), F.substring(F.md5(w), i, 1)) - F.lit(1)
+
+    return F.transform(words, lambda w: F.array(*[nib(w, i) for i in range(1, 17)]))
 
 
-def simhash_expr(words: Column, n_bits: int = 16) -> Column:
-    """16-bit SimHash of a word array (per-row, no shuffle)."""
-    out = F.lit(0)
-    for bit in range(n_bits):
-        out = out + F.when(simhash_bit_expr(words, bit) > 0, F.lit(1 << bit)).otherwise(F.lit(0))
+def simhash64_from_nibbles_expr(nibs: Column) -> Column:
+    """64-bit SimHash from precomputed per-word nibble arrays — the pure
+    JVM expression twin of :func:`simhash64_py` (equality asserted in
+    tests). Bit b lives in nibble 16 - b//4 (1-based from the left), at
+    within-nibble position b%4."""
+    out = F.lit(0).cast("long")
+    for b in range(SIMHASH_BITS):
+        j = 16 - b // 4  # 1-based nibble index from the left
+        k = b % 4
+
+        def vote_of(n: Column, j: int = j, k: int = k) -> Column:
+            return F.when(F.shiftright(n[j - 1], k).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        vote = F.aggregate(nibs, F.lit(0), lambda acc, n: acc + vote_of(n))
+        contrib = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        out = out + F.when(vote > 0, contrib.cast("long")).otherwise(F.lit(0).cast("long"))
     return out
+
+
+def simhash_block_key_expr(simhash: Column, block: int) -> Column:
+    """16-bit block ``block`` (0=low) of a 64-bit fingerprint. The &65535
+    mask makes the result shift-semantics-proof (arithmetic vs logical)."""
+    return F.shiftright(simhash, 16 * block).bitwiseAND(F.lit(65535))
 
 
 def dot_expr(a: Column, b: Column) -> Column:

@@ -32,7 +32,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.hashing import minhash_expr, shingles_expr, simhash_expr, words_expr
+from ..functions.hashing import (
+    minhash_expr,
+    shingles_expr,
+    simhash64_from_nibbles_expr,
+    simhash64_py,
+    simhash_block_key_expr,
+    word_nibbles_expr,
+    words_expr,
+)
 from ..functions.numeric import pround
 
 
@@ -257,29 +265,66 @@ def minhash_dedup_pairs(
 
 
 def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """id -> 16-bit SimHash (per-row, no shuffle; cross-engine exact)."""
-    return df.select(F.col(id_col).alias("id"), simhash_expr(words_expr(F.col(text_col))).alias("simhash"))
+    """id -> 64-bit SimHash as a signed int64 (per-row, zero shuffle).
+
+    Arrow-vectorized pandas-UDF fast path over the shared pure-Python
+    kernel (``functions.hashing.simhash64_py``); the pure-expression twin
+    is :func:`simhash_fingerprints_sql` (equality asserted in tests, and
+    the DuckDB oracle recomputes the same nibble arithmetic). 64 bits
+    keeps the fingerprint space collision-safe at >=10^9 docs — the
+    16-bit variant collided catastrophically past ~10^7."""
+
+    @F.pandas_udf(T.LongType())
+    def _sh(texts: pd.Series) -> pd.Series:
+        return texts.map(simhash64_py)
+
+    return df.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 2, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance.
+def simhash_fingerprints_sql(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Pure-expression (JVM-only) twin of :func:`simhash_fingerprints` —
+    same values, no Python worker; used where a no-Python plan matters
+    more than raw md5 throughput. Nibbles materialize once in their own
+    projection (plan hygiene, cf. minhash_signatures_sql)."""
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        word_nibbles_expr(words_expr(F.col(text_col))).alias("_nibs"),
+    )
+    return staged.select("id", simhash64_from_nibbles_expr(F.col("_nibs")).alias("simhash"))
 
-    Scale path: block on half-bytes of the fingerprint (pigeonhole — two
-    fingerprints within Hamming ``max_hamming`` <= 2 share at least one of
-    3 contiguous ~5-bit blocks intact) instead of the quadratic cross
-    join; here with 16-bit hashes we block on bytes.
-    """
-    fp = simhash_fingerprints(df, id_col, text_col)
-    blocks = fp.select(
+
+def simhash_blocks(fp: DataFrame, n_blocks: int = 4) -> DataFrame:
+    """(id, simhash) -> one row per 16-bit block: (id, simhash, blk, key)."""
+    return fp.select(
         "id",
         "simhash",
         F.explode(
             F.array(
-                F.struct(F.lit(0).alias("blk"), (F.col("simhash") % 256).alias("key")),
-                F.struct(F.lit(1).alias("blk"), (F.col("simhash") / 256).cast("int").alias("key")),
+                *[
+                    F.struct(F.lit(j).alias("blk"), simhash_block_key_expr(F.col("simhash"), j).alias("key"))
+                    for j in range(n_blocks)
+                ]
             )
         ).alias("b"),
     ).select("id", "simhash", "b.blk", "b.key")
+
+
+def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance over 64-bit prints.
+
+    Scale path: block the fingerprint into 4 disjoint 16-bit keys and
+    equi-join on (blk, key) — by pigeonhole, two prints within Hamming
+    d <= 3 differ in at most 3 of the 4 blocks, so they SHARE at least
+    one block intact and are guaranteed to meet in the join (block count
+    must be >= max_hamming + 1; enforced). The exact Hamming filter then
+    runs on candidates only. ONE shuffle join keyed on 16-bit blocks —
+    2^16 keys per block index; at petabyte scale widen to 8x8-bit blocks
+    or pre-partition on the block key.
+    """
+    n_blocks = 4
+    if max_hamming > n_blocks - 1:
+        raise ValueError(f"max_hamming={max_hamming} needs >= {max_hamming + 1} blocks (pigeonhole); have {n_blocks}")
+    blocks = simhash_blocks(simhash_fingerprints(df, id_col, text_col), n_blocks)
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (
@@ -296,4 +341,4 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 2, id_col: str = "doc_i
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return pairs.withColumn("hamming", hamming).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+    return pairs.withColumn("hamming", hamming.cast("long")).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

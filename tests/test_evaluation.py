@@ -7,7 +7,7 @@ precision/recall against hand-counted expectations
 import pytest
 from pyspark.sql import functions as F
 
-from keras_ocr_spark.evaluation import match_spans, score, span_iou_expr, text_similarity_expr
+from keras_ocr_spark.evaluation import iou_candidates, score, score_by_turn, span_iou_expr, text_similarity_expr
 
 
 def _iou(spark, s1, e1, s2, e2):
@@ -70,14 +70,12 @@ class TestScore:
         )
         return true, pred
 
-    def test_greedy_matching_one_to_one(self, frames):
+    def test_iou_candidates_are_iou_only(self, frames):
         true, pred = frames
-        m = match_spans(true, pred).collect()
+        m = iou_candidates(true, pred).collect()
         pairs = {(r.turn_id, r.true_span_id, r.pred_span_id) for r in m}
         assert ("t1", 0, 0) in pairs and ("t2", 0, 0) in pairs
-        # each pred spent at most once
-        spent = [(r.turn_id, r.pred_span_id) for r in m]
-        assert len(spent) == len(set(spent))
+        assert ("t3", 0, 0) in pairs  # ignored truths still consume preds
 
     def test_precision_recall_counts(self, frames):
         true, pred = frames
@@ -85,3 +83,30 @@ class TestScore:
         assert (s["tp"], s["fp"], s["fn"]) == (2, 1, 1)
         assert s["precision"] == pytest.approx(2 / 3)
         assert s["recall"] == pytest.approx(2 / 3)
+
+    def test_shared_pred_matches_multiple_truths(self, spark):
+        """Reference semantics (evaluation.py:96-104): one pred may match
+        several truths — BOTH count as TP, no spurious FN from the old
+        one-to-one assignment."""
+        true = spark.createDataFrame(
+            [("t1", 0, 0, 10, "aaaa"), ("t1", 1, 8, 18, "aaaa")], SPAN_SCHEMA
+        )
+        pred = spark.createDataFrame([("t1", 0, 0, 18, "aaaa")], SPAN_SCHEMA)
+        # IoU(pred, truth0) = 10/18, IoU(pred, truth1) = 10/18 -> both match
+        s = score(true, pred)
+        assert (s["tp"], s["fp"], s["fn"]) == (2, 0, 0)
+
+    def test_near_tp_is_neither_fn_nor_fp(self, spark):
+        """IoU-matched but low-similarity pairs (evaluation.py:126-127):
+        the truth is a near-TP (not FN), the pred is matched (not FP)."""
+        true = spark.createDataFrame([("t1", 0, 0, 10, "hello world")], SPAN_SCHEMA)
+        pred = spark.createDataFrame([("t1", 0, 0, 10, "zzzzzzzzzzz")], SPAN_SCHEMA)
+        s = score(true, pred)
+        assert (s["tp"], s["fp"], s["fn"], s["near_tp"]) == (0, 0, 0, 1)
+
+    def test_score_by_turn_rows(self, frames):
+        true, pred = frames
+        rows = {r.turn_id: (r.tp, r.fp, r.fn, r.near_tp) for r in score_by_turn(true, pred).collect()}
+        assert rows["t1"] == (1, 0, 1, 0)
+        assert rows["t2"] == (1, 1, 0, 0)
+        assert rows["t3"] == (0, 0, 0, 0)  # ignored truth, matched pred -> nothing counted

@@ -74,14 +74,34 @@ class TestSimHash:
     def test_fingerprints_deterministic_and_close_for_near_dups(self, docs):
         fps = {r.id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
         assert fps[0] == fps[1]
-        assert all(0 <= v < 65536 for v in fps.values())
-        ham_near = bin(fps[0] ^ fps[2]).count("1")
-        ham_far = bin(fps[0] ^ fps[3]).count("1")
+        assert all(-(1 << 63) <= v < (1 << 63) for v in fps.values())  # signed int64
+        ham_near = bin((fps[0] ^ fps[2]) & ((1 << 64) - 1)).count("1")
+        ham_far = bin((fps[0] ^ fps[3]) & ((1 << 64) - 1)).count("1")
         assert ham_near < ham_far
 
+    def test_expression_twin_equals_python_kernel(self, docs):
+        fast = {r.id: r.simhash for r in D.simhash_fingerprints(docs).collect()}
+        twin = {r.id: r.simhash for r in D.simhash_fingerprints_sql(docs).collect()}
+        assert fast == twin
+
     def test_near_pairs(self, docs):
-        pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=2).collect()}
+        pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(docs, max_hamming=3).collect()}
         assert pairs.get((0, 1)) == 0
+
+    def test_near_pair_with_flips_across_blocks(self, spark):
+        """Pigeonhole regression: a Hamming-3 pair whose differing bits
+        span blocks 0, 1 AND 2 (precomputed via simhash64_py) must still
+        meet in the remaining intact block. The old 2-block scheme
+        silently dropped such pairs."""
+        base = "the quick brown fox jumps over the lazy dog again and again with many words to stabilize votes"
+        near = base + " tok2"  # Hamming 3, flips in blocks {0,1,2}
+        df = spark.createDataFrame([(0, base), (1, near)], "doc_id int, text string")
+        pairs = {(r.id_a, r.id_b): r.hamming for r in D.simhash_near_pairs(df, max_hamming=3).collect()}
+        assert pairs == {(0, 1): 3}
+
+    def test_pigeonhole_block_count_enforced(self, docs):
+        with pytest.raises(ValueError, match="pigeonhole"):
+            D.simhash_near_pairs(docs, max_hamming=4)
 
 
 class TestSimilarity:

@@ -119,9 +119,9 @@ class TestExpressionOperatorsStayJvmSide:
             lambda d: TS.token_counts(d),
             lambda d: TS.fingerprints(d),
             lambda d: D.minhash_signatures_sql(d),
-            lambda d: D.simhash_fingerprints(d),
+            lambda d: D.simhash_fingerprints_sql(d),
         ],
-        ids=["lang", "quality", "tokens", "fingerprint", "minhash_sigs", "simhash"],
+        ids=["lang", "quality", "tokens", "fingerprint", "minhash_sigs", "simhash_sql_twin"],
     )
     def test_no_python_no_shuffle(self, docs, build):
         plan = plan_of(build(docs))
