@@ -1,15 +1,22 @@
 """Checkpoint/resume tests — the kill/resume scenario from BASELINE.md:
 re-run skips completed partitions via manifest anti-join (graft analog of
 the reference's resume-from-weights loop,
-``scripts/train_recognizer_synthtext90_multigpu.py:126-147``)."""
+``scripts/train_recognizer_synthtext90_multigpu.py:126-147``), plus the
+single-scan plan shape and lineage-invalidation rules."""
 
 import json
+import re
 from pathlib import Path
 
 import pytest
 
 from keras_ocr_spark.config import ExtractionConfig
-from keras_ocr_spark.plans.checkpoint import completed_buckets, read_manifests, run_with_checkpoints
+from keras_ocr_spark.plans.checkpoint import (
+    completed_buckets,
+    pending_plan,
+    read_manifests,
+    run_with_checkpoints,
+)
 from keras_ocr_spark.sources.transcripts import generate_pandas
 
 
@@ -38,7 +45,7 @@ def test_kill_and_resume_exact(spark, input_path, tmp_path):
     assert set(summary["buckets_run"]) == set(range(6)) - done_before
 
     # Full output = every input turn exactly once.
-    result = spark.read.parquet(*[f"{out}/bucket={b}" for b in range(6)])
+    result = spark.read.parquet(out)
     n_input = spark.read.parquet(input_path).count()
     assert result.count() == n_input
     assert result.select("conv_id", "turn_idx").distinct().count() == n_input
@@ -46,6 +53,15 @@ def test_kill_and_resume_exact(spark, input_path, tmp_path):
     # Third run: everything skipped, nothing recomputed.
     summary3 = run_with_checkpoints(spark, input_path, out, n_buckets=6)
     assert summary3["buckets_run"] == [] and len(summary3["buckets_skipped"]) == 6
+
+
+def test_single_scan_plan(spark, input_path):
+    """The run's plan must scan the input exactly ONCE however many
+    buckets are pending — the whole point of the single-pass rewrite
+    (the old per-bucket loop cost n_buckets full scans)."""
+    df = pending_plan(spark, input_path, buckets=[0, 2, 5], n_buckets=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"FileScan parquet|Scan parquet", plan)) == 1, plan
 
 
 def test_config_change_invalidates_manifests(spark, input_path, tmp_path):
@@ -56,6 +72,51 @@ def test_config_change_invalidates_manifests(spark, input_path, tmp_path):
         spark, input_path, out, n_buckets=2, cfg=ExtractionConfig(size_threshold=5)
     )
     assert summary["buckets_run"] == [0, 1]
+
+
+def test_n_buckets_change_invalidates_and_cleans(spark, input_path, tmp_path):
+    """Re-running with different n_buckets must NOT trust manifests from
+    the old bucketing predicate, and stale bucket=K dirs beyond the new
+    range must be removed (no duplicated/missing rows)."""
+    out = str(tmp_path / "out4")
+    run_with_checkpoints(spark, input_path, out, n_buckets=6)
+    assert len(list(Path(out).glob("bucket=*"))) > 2
+
+    summary = run_with_checkpoints(spark, input_path, out, n_buckets=2)
+    assert summary["buckets_skipped"] == []  # old manifests don't satisfy resume
+    assert set(summary["buckets_run"]) == {0, 1}
+    # No stale dirs beyond the new range...
+    ks = {int(p.name.split("=")[1]) for p in Path(out).glob("bucket=*")}
+    assert ks <= {0, 1}
+    # ...and the output is still exactly the input, once.
+    result = spark.read.parquet(out)
+    n_input = spark.read.parquet(input_path).count()
+    assert result.count() == n_input
+    assert result.select("conv_id", "turn_idx").distinct().count() == n_input
+
+
+def test_n_buckets_alternation_stays_exact(spark, input_path, tmp_path):
+    """Regression (found by driving the job): 6 -> 3 -> 6 alternation.
+    The middle run deletes the 6-layout bucket dirs as stale while their
+    manifests survive; the final run must NOT trust dir-less manifests
+    (that silently dropped those buckets' rows)."""
+    out = str(tmp_path / "alt")
+    run_with_checkpoints(spark, input_path, out, n_buckets=6)
+    run_with_checkpoints(spark, input_path, out, n_buckets=3)
+    run_with_checkpoints(spark, input_path, out, n_buckets=6)
+    result = spark.read.parquet(out)
+    n_input = spark.read.parquet(input_path).count()
+    assert result.count() == n_input
+    assert result.select("conv_id", "turn_idx").distinct().count() == n_input
+
+
+def test_max_buckets_per_run_bounds_commit(spark, input_path, tmp_path):
+    out = str(tmp_path / "out5")
+    s1 = run_with_checkpoints(spark, input_path, out, n_buckets=4, max_buckets_per_run=2)
+    assert len(s1["buckets_run"]) == 2
+    s2 = run_with_checkpoints(spark, input_path, out, n_buckets=4, max_buckets_per_run=2)
+    assert len(s2["buckets_run"]) == 2 and len(s2["buckets_skipped"]) == 2
+    assert spark.read.parquet(out).count() == spark.read.parquet(input_path).count()
 
 
 def test_corrupt_manifest_triggers_redo(spark, input_path, tmp_path):
@@ -72,6 +133,6 @@ def test_manifest_content_hash_stable(spark, input_path, tmp_path):
     out_b = str(tmp_path / "b")
     run_with_checkpoints(spark, input_path, out_a, n_buckets=2)
     run_with_checkpoints(spark, input_path, out_b, n_buckets=2, n_salt=4)
-    ha = {m["bucket"]: m["content_sha256"] for m in read_manifests(out_a)}
-    hb = {m["bucket"]: m["content_sha256"] for m in read_manifests(out_b)}
-    assert ha == hb  # salting must not change committed content
+    ha = {m["bucket"]: m["content_hash64"] for m in read_manifests(out_a)}
+    hb = {m["bucket"]: m["content_hash64"] for m in read_manifests(out_b)}
+    assert ha == hb  # salting must not change committed content (order-independent hash)
