@@ -33,6 +33,7 @@ from pyspark.sql import Window as W
 from .functions.hashing import HEX
 from .functions.numeric import pround
 from .operators import dedup as D
+from .operators import encode as E
 from .operators import similarity as S
 from .operators import textstats as TS
 from .plans.pipeline import extract
@@ -918,6 +919,178 @@ def q_salted_user_stats(spark, sf_dir):
         F.min("_min_us").cast("long").alias("first_us"),
         F.max("_max_us").cast("long").alias("last_us"),
     ).select(_b("user_id"), "n_events", "total_value", "n_types", "first_us", "last_us")
+
+
+# ==========================================================================
+# 6a. Encoding / alphabet / shuffle / geometry (§2 tail)
+# ==========================================================================
+
+
+@register(
+    "vocab_encode",
+    f"""
+    WITH clean AS (
+      SELECT doc_id AS id, regexp_replace(lower(text), '[^{E.DEFAULT_ALPHABET}]', '', 'g') AS s
+      FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(least(length(s), 32) AS BIGINT) AS label_length,
+           array_to_string(list_transform(range(1, 33),
+             i -> CASE WHEN i <= length(s)
+                       THEN strpos('{E.DEFAULT_ALPHABET}', substr(s, CAST(i AS INTEGER), 1)) - 1
+                       ELSE -1 END), ',') AS labels_csv
+    FROM clean
+    """,
+)
+def q_vocab_encode(spark, sf_dir):
+    """Char -> label-index encode + -1 pad (recognition.py:450-459): the
+    broadcast-vocabulary map lookup, padded to 32. The oracle rebuilds it
+    with strpos over the same alphabet literal (alphabet.index == map
+    value == strpos-1)."""
+    docs = _t(spark, sf_dir, "documents")
+    out = E.vocab_encode(docs, max_len=32)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("label_length").cast("long").alias("label_length"),
+        F.array_join(F.transform("labels", lambda x: x.cast("string")), ",").alias("labels_csv"),
+    )
+
+
+@register(
+    "alphabet_filter",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(lower(text), '[^{E.DEFAULT_ALPHABET} ]', '', 'g') AS clean,
+           CAST(length(text) - length(regexp_replace(lower(text), '[^{E.DEFAULT_ALPHABET} ]', '', 'g')) AS BIGINT) AS n_removed
+    FROM documents
+    """,
+)
+def q_alphabet_filter(spark, sf_dir):
+    """Alphabet char filter (data_generation.py:148-156,
+    datasets.py:465-467): regexp char-class strip, keeping spaces."""
+    docs = _t(spark, sf_dir, "documents")
+    clean = E.alphabet_filter_expr(F.col("text"), E.DEFAULT_ALPHABET + " ")
+    return docs.select(
+        _b("doc_id"),
+        clean.alias("clean"),
+        (F.length("text") - F.length(clean)).cast("long").alias("n_removed"),
+    )
+
+
+# A "font" whose cmap lacks the glyph 'q' — documents containing it are
+# unsupported (385/115 split at sf0.01, non-degenerate by construction).
+_FONT_CMAP = "0123456789abcdefghijklmnoprstuvwxyz "
+
+
+@register(
+    "font_support",
+    f"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           length(regexp_replace(lower(text), '[{_FONT_CMAP}]', '', 'g')) = 0 AS supported,
+           CAST(length(regexp_replace(lower(text), '[{_FONT_CMAP}]', '', 'g')) AS BIGINT) AS n_unsupported
+    FROM documents
+    """,
+)
+def q_font_support(spark, sf_dir):
+    """Font-support predicate (data_generation.py:115-137): broadcast-set
+    membership via forall over a vocabulary map — 'is every char of the
+    text inside the font's cmap set'. The oracle phrases the same
+    predicate as an empty regex residue; both count the unsupported
+    chars identically."""
+    docs = _t(spark, sf_dir, "documents")
+    supported_set = _FONT_CMAP
+    residue = F.regexp_replace(F.lower(F.col("text")), f"[{supported_set}]", "")
+    return docs.select(
+        _b("doc_id"),
+        E.font_support_expr(F.col("text"), supported_set).alias("supported"),
+        F.length(residue).cast("long").alias("n_unsupported"),
+    )
+
+
+@register(
+    "epoch_shuffle",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(row_number() OVER (ORDER BY md5('7:' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+)
+def q_epoch_shuffle(spark, sf_dir):
+    """Seeded epoch shuffle (datasets.py:379-381; data_generation.py:
+    637-653): deterministic permutation by md5(seed:key) — reproducible
+    across engines and epochs, unlike rand(seed) whose stream is
+    engine-specific."""
+    docs = _t(spark, sf_dir, "documents")
+    out = E.epoch_shuffle(docs, seed=7, key_col="doc_id")
+    return out.select(_b("doc_id"), F.col("shuffle_pos").cast("long").alias("shuffle_pos"))
+
+
+@register(
+    "inclusion_filter",
+    """
+    WITH spans AS (
+      SELECT l_orderkey, l_partkey,
+             l_partkey % 100 AS s, l_partkey % 100 + CAST(l_quantity * 2 AS INTEGER) AS e
+      FROM lineitem)
+    SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey, CAST(l_partkey AS BIGINT) AS l_partkey,
+           CAST(s AS BIGINT) AS start, CAST(e AS BIGINT) AS "end",
+           CAST(greatest(s, 25) AS BIGINT) AS clip_start, CAST(least(e, 75) AS BIGINT) AS clip_end,
+           CAST(floor(CAST(greatest(least(e, 75) - greatest(s, 25), 0) AS DOUBLE) / (e - s) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS keep_ratio
+    FROM spans
+    WHERE e - s > 0
+      AND CAST(greatest(least(e, 75) - greatest(s, 25), 0) AS DOUBLE) / (e - s) >= 0.5
+      AND greatest(least(e, 75) - greatest(s, 25), 0) > 5
+    """,
+)
+def q_inclusion_filter(spark, sf_dir):
+    """Geometric inclusion filter (tools.py:301-311): keep a span only if
+    >= 50% of it survives the clip to [25, 75) and the clipped length
+    exceeds min_len — span arithmetic over spans synthesized from
+    lineitem."""
+    from .operators.geometry import inclusion_filter
+
+    li = _t(spark, sf_dir, "lineitem")
+    spans = li.select(
+        "l_orderkey",
+        "l_partkey",
+        (F.col("l_partkey") % 100).cast("int").alias("start"),
+        ((F.col("l_partkey") % 100) + (F.col("l_quantity") * 2).cast("int")).cast("int").alias("end"),
+    )
+    out = inclusion_filter(spans, lo=25, hi=75, area_threshold=0.5, min_len=5)
+    return out.select(
+        _b("l_orderkey"),
+        _b("l_partkey"),
+        F.col("start").cast("long").alias("start"),
+        F.col("end").cast("long").alias("end"),
+        F.col("clip_start").cast("long").alias("clip_start"),
+        F.col("clip_end").cast("long").alias("clip_end"),
+        pround(F.col("keep_ratio"), 6).alias("keep_ratio"),
+    )
+
+
+@register(
+    "pdf_extract",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id, text AS pdf_text,
+           CAST(octet_length(encode('%PDF-1.4 BT (' || text || ') Tj ET')) AS BIGINT) AS n_bytes
+    FROM documents
+    """,
+)
+def q_pdf_extract(spark, sf_dir):
+    """PDF/byte-stream tokenization path: synthesize PDF-like binary
+    payloads (content-stream text-show subset), then parse the bytes
+    back to text inside mapInPandas (operators.multimodal.
+    pdf_extract_text) — binary column in, Arrow batches through, text
+    out. The oracle knows the synthesis, so extraction must round-trip
+    the original text exactly."""
+    from .operators.multimodal import pdf_extract_text, synth_pdf_payloads
+
+    docs = _docs(spark, sf_dir)
+    out = pdf_extract_text(synth_pdf_payloads(docs))
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        "pdf_text",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+    )
 
 
 # ==========================================================================

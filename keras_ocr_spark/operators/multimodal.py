@@ -17,6 +17,7 @@ tested; swapping the stub for cv2/PIL/librosa is a one-function change.
 from __future__ import annotations
 
 import hashlib
+import re
 from typing import Iterator
 
 import pandas as pd
@@ -99,6 +100,44 @@ def sample_frames(df: DataFrame, every_n: int = 10, decode_stub: bool = True) ->
             yield pd.DataFrame({"media_id": out_ids, "frame_idx": out_idx, "frame_sha": out_sha})
 
     return df.filter(F.col("kind") == "video").mapInPandas(op, schema=FRAME_SCHEMA)
+
+
+PDF_TEXT_SCHEMA = "id long, pdf_text string, n_bytes long"
+
+#: Minimal PDF content-stream text-show grammar we parse: one
+#: ``BT (…) Tj ET`` block per payload. Greedy ``(.*)`` ends at the LAST
+#: ``) Tj ET`` so unescaped parens inside the text are safe.
+_PDF_TJ = re.compile(rb"BT \((.*)\) Tj ET", re.DOTALL)
+
+
+def synth_pdf_payloads(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Deterministic PDF-like binary payloads from a text column: a
+    minimal content stream ``%PDF-1.4 BT (text) Tj ET`` utf-8 encoded.
+    Stands in for real PDFs (no pdf libs in this runtime) while keeping
+    the binary column + Arrow plumbing fully real."""
+    stream = F.concat(F.lit("%PDF-1.4 BT ("), F.col(text_col), F.lit(") Tj ET"))
+    return df.select(F.col(id_col).cast("long").alias("id"), F.encode(stream, "utf-8").alias("payload"))
+
+
+def pdf_extract_text(df: DataFrame) -> DataFrame:
+    """Binary PDF-ish payloads -> text via mapInPandas (the byte-stream
+    tokenization path: bytes stay in Arrow buffers, the pure-Python
+    parser runs batch-at-a-time on executors — the ``tools.read``
+    polymorphic-source analog for document payloads,
+    /root/reference/keras_ocr/tools.py:19-38). A real PDF parser slots
+    into the same iterator; the grammar here is the text-show subset."""
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            texts, sizes = [], []
+            for payload in pdf["payload"]:
+                raw = bytes(payload) if payload is not None else b""
+                m = _PDF_TJ.search(raw)
+                texts.append(m.group(1).decode("utf-8") if m else None)
+                sizes.append(len(raw))
+            yield pd.DataFrame({"id": pdf["id"], "pdf_text": texts, "n_bytes": sizes})
+
+    return df.select("id", "payload").mapInPandas(op, schema=PDF_TEXT_SCHEMA)
 
 
 def synth_media(spark, n: int = 20, seed: int = 42) -> DataFrame:

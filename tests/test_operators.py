@@ -253,3 +253,82 @@ class TestConvStats:
         n_by_conv = {r.conv_id: r.n for r in df.groupBy("conv_id").agg(F.count("*").alias("n")).collect()}
         assert {c: r.n_turns for c, r in rows.items()} == n_by_conv
         assert all(r.max_gap_sec >= r.mean_gap_sec >= 0 for r in rows.values() if r.n_turns > 1)
+
+
+class TestEncodeAndFilters:
+    def test_vocab_encode_matches_reference_semantics(self, spark):
+        """[alphabet.index(c)] + [-1]*pad (recognition.py:450-459)."""
+        from keras_ocr_spark.operators import encode as E
+
+        df = spark.createDataFrame([(0, "ab0"), (1, "Zz!  9")], "doc_id int, text string")
+        rows = {r.id: (r.label_length, r.labels) for r in E.vocab_encode(df, max_len=6).collect()}
+        a = E.DEFAULT_ALPHABET
+        assert rows[0] == (3, [a.index("a"), a.index("b"), a.index("0"), -1, -1, -1])
+        # "Zz!  9" -> lower+strip non-alphabet -> "zz9"
+        assert rows[1] == (3, [a.index("z"), a.index("z"), a.index("9"), -1, -1, -1])
+
+    def test_vocab_encode_truncates(self, spark):
+        from keras_ocr_spark.operators import encode as E
+
+        df = spark.createDataFrame([(0, "abcdef")], "doc_id int, text string")
+        r = E.vocab_encode(df, max_len=4).collect()[0]
+        assert r.label_length == 4 and len(r.labels) == 4
+
+    def test_font_support_expr(self, spark):
+        from keras_ocr_spark.operators import encode as E
+
+        df = spark.createDataFrame([(0, "good dog"), (1, "quiet dog")], "doc_id int, text string")
+        out = {
+            r.doc_id: r.ok
+            for r in df.select("doc_id", E.font_support_expr(F.col("text"), "dgo ").alias("ok")).collect()
+        }
+        assert out == {0: True, 1: False}
+
+    def test_epoch_shuffle_deterministic_and_seed_sensitive(self, spark):
+        from keras_ocr_spark.operators import encode as E
+
+        df = spark.createDataFrame([(i,) for i in range(30)], "doc_id int")
+        p7a = [r.doc_id for r in E.epoch_shuffle(df, 7).orderBy("shuffle_pos").collect()]
+        p7b = [r.doc_id for r in E.epoch_shuffle(df, 7).orderBy("shuffle_pos").collect()]
+        p8 = [r.doc_id for r in E.epoch_shuffle(df, 8).orderBy("shuffle_pos").collect()]
+        assert p7a == p7b  # same seed -> same permutation
+        assert p7a != p8  # new epoch seed -> new permutation
+        assert sorted(p7a) == list(range(30))  # a permutation, not a sample
+
+    def test_inclusion_filter_goldens(self, spark):
+        """tools.py:301-311 semantics: ratio threshold + min length +
+        zero-length rejection."""
+        from keras_ocr_spark.operators.geometry import inclusion_filter
+
+        df = spark.createDataFrame(
+            [(0, 30, 70), (1, 0, 30), (2, 20, 80), (3, 74, 120), (4, 50, 50)],
+            "sid int, start int, end int",
+        )
+        kept = {r.sid: r.keep_ratio for r in inclusion_filter(df, 25, 75, 0.5, 5).collect()}
+        assert kept[0] == 1.0          # fully inside
+        assert 2 not in kept or kept[2] >= 0.5  # [20,80): 55/60 -> kept
+        assert 1 not in kept           # [0,30): 5/30 < 0.5
+        assert 3 not in kept           # [74,120): survives 1 char <= min_len
+        assert 4 not in kept           # zero-length
+
+
+class TestPdfExtract:
+    def test_roundtrip_with_parens(self, spark):
+        from keras_ocr_spark.operators import multimodal as M
+
+        df = spark.createDataFrame(
+            [(0, "plain text"), (1, "with (nested) parens"), (2, "multi\nline")],
+            "doc_id int, text string",
+        )
+        out = {r.id: (r.pdf_text, r.n_bytes) for r in M.pdf_extract_text(M.synth_pdf_payloads(df)).collect()}
+        assert out[0][0] == "plain text"
+        assert out[1][0] == "with (nested) parens"  # greedy match survives inner parens
+        assert out[2][0] == "multi\nline"
+        assert out[0][1] == len("%PDF-1.4 BT (plain text) Tj ET")
+
+    def test_garbage_payload_yields_null(self, spark):
+        from keras_ocr_spark.operators import multimodal as M
+
+        df = spark.createDataFrame([(0, bytearray(b"not a pdf"))], "id long, payload binary")
+        r = M.pdf_extract_text(df).collect()[0]
+        assert r.pdf_text is None and r.n_bytes == 9
