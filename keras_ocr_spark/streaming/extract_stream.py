@@ -11,8 +11,11 @@ continuously:
 - stages 1+2 are IDENTICAL code to batch (detect -> decode): stateless
   per-row transforms run unchanged under micro-batches;
 - per-turn reassembly is a stateful aggregation -> done per micro-batch
-  inside ``foreachBatch`` (a turn's spans arrive together in one file),
-  keeping exactly-once parquet commits;
+  inside ``foreachBatch`` (a turn's spans arrive together in one file);
+  the sink is IDEMPOTENT: each micro-batch overwrites its own
+  ``epoch_id=N`` partition, so a replayed batch (failure between write
+  and offset commit) rewrites the same files instead of appending
+  duplicates — end-to-end exactly-once at the file level;
 - a watermarked windowed count stream is exposed for monitoring
   (late-data handling: 10-minute watermark on ``ts``).
 """
@@ -48,17 +51,28 @@ def extract_stream(stream_df: DataFrame, cfg: ExtractionConfig = DEFAULT_CONFIG)
     return decode(detect(slim, cfg=cfg))
 
 
+def epoch_sink(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """Idempotent per-epoch sink: a replayed micro-batch overwrites its
+    own epoch partition instead of appending a duplicate copy."""
+    reassemble(batch_df).write.mode("overwrite").parquet(f"{out_dir}/epoch_id={epoch_id}")
+
+
 def start_extraction(
     stream_df: DataFrame,
     out_dir: str,
     checkpoint_dir: str,
     cfg: ExtractionConfig = DEFAULT_CONFIG,
 ):
-    """Run the full pipeline as a stream with exactly-once parquet sink."""
+    """Run the full pipeline as a stream with an exactly-once parquet
+    sink: foreachBatch alone is at-least-once (a batch replayed after a
+    failure between write and offset commit would append again), so each
+    epoch writes to its own ``epoch_id=N`` partition with overwrite —
+    replays rewrite the same path idempotently. Readers see ``epoch_id``
+    as an extra partition column (drop or prune it)."""
     spans = extract_stream(stream_df, cfg)
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
-        reassemble(batch_df).write.mode("append").parquet(out_dir)
+        epoch_sink(batch_df, epoch_id, out_dir)
 
     return (
         spans.writeStream.foreachBatch(sink)

@@ -38,3 +38,25 @@ def test_each_query_is_lazy_plannable(spark, name):
     # Building the plan must not error (execution checked by check_oracles).
     df = entry_mod.queries()[name](spark, SF_SMOKE)
     assert df.columns
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01", "sf0.1"])
+def test_documents_shape_precondition_for_extract_oracle(sf):
+    """The extract_documents / eval_score oracles assume the synthetic
+    documents (a) contain no markup chars ('<', '&') so the decode chain
+    is the identity beyond ws-collapse, and (b) are long enough that
+    every doc survives the size threshold and the eval span offsets
+    (>= 41 chars). If the testdata generator ever changes shape, THIS
+    test names the oracles to revisit instead of letting them silently
+    rot (ADVICE.md round-1, item 5)."""
+    import duckdb
+
+    path = f"/root/testdata/{sf}/documents.parquet"
+    if not Path(path).exists():
+        pytest.skip(f"no {sf} testdata")
+    bad, minlen = duckdb.sql(
+        f"SELECT sum(CASE WHEN text LIKE '%<%' OR text LIKE '%&%' THEN 1 ELSE 0 END), min(length(text)) "
+        f"FROM read_parquet('{path}')"
+    ).fetchone()
+    assert bad == 0, "documents now contain markup chars: extract_documents oracle is invalid"
+    assert minlen >= 41, "documents shorter than eval_score span offsets: eval oracle is invalid"

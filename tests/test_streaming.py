@@ -38,6 +38,28 @@ def test_stream_equals_batch(spark, landing, tmp_path):
     assert stream_rows == batch_rows
 
 
+def test_replayed_epoch_is_idempotent(spark, landing, tmp_path):
+    """A micro-batch replay (failure between write and offset commit)
+    re-invokes the sink with the SAME epoch_id — the per-epoch overwrite
+    must leave exactly one copy, not append a duplicate."""
+    from pyspark.sql import functions as F
+
+    from keras_ocr_spark.operators.decode import decode
+    from keras_ocr_spark.operators.detect import detect
+    from keras_ocr_spark.streaming.extract_stream import epoch_sink
+
+    src = str(landing / "transcripts")
+    out = str(tmp_path / "replay_out")
+    spans = decode(detect(spark.read.parquet(src).select("conv_id", "turn_idx", "text")))
+    epoch_sink(spans, 0, out)
+    once = spark.read.parquet(out).count()
+    epoch_sink(spans, 0, out)  # replay of the same epoch
+    again = spark.read.parquet(out)
+    assert again.count() == once
+    assert again.select("conv_id", "turn_idx").distinct().count() == once
+    assert again.select(F.col("epoch_id")).distinct().count() == 1
+
+
 def test_watermarked_monitor_plan(spark, landing):
     stream = read_transcript_stream(spark, str(landing / "transcripts"))
     agg = turn_rate_monitor(stream)
