@@ -205,35 +205,54 @@ def main() -> int:
         "pass": eff >= 0.8,
     }
     print(json.dumps(result, indent=2))
-    (REPO / "BENCH/scaling.json").write_text(json.dumps(result, indent=2) + "\n")
 
-    md = f"""# BENCH/BASELINE.md — scaling-efficiency evidence
+    # Merge this pairing into scaling.json (keyed N->4N) so multiple
+    # core pairings accumulate as independent datapoints.
+    sj = REPO / "BENCH/scaling.json"
+    try:
+        existing = json.loads(sj.read_text())
+    except (OSError, json.JSONDecodeError):
+        existing = {}
+    runs = existing.get("runs", {})
+    if "scaling_efficiency" in existing and "runs" not in existing:
+        # migrate the round-1 single-run layout
+        runs[f"{existing['n_cores']}->{existing['four_n_cores']}"] = existing
+    runs[f"{args.n}->{args.four_n}"] = result
+    sj.write_text(json.dumps({"runs": runs}, indent=2) + "\n")
+
+    header = """# BENCH/BASELINE.md — scaling-efficiency evidence
 
 North rule: `throughput@4N / (4 x throughput@N) >= 0.8` at two
 parallelism levels. No real cluster in this sandbox: the identical
-map-only extraction job runs at `local[{args.n}]` (N) and
-`local[{args.four_n}]` (4N) in lock-step pairs (both JVMs alive,
-alternating reps) so each pair shares one noise window of this shared
-VM. Full materialization is forced via checksum aggregates.
+map-only extraction job runs at `local[N]` and `local[4N]` in
+lock-step pairs (both JVMs alive, alternating reps) so each pair
+shares one noise window of this shared VM. Full materialization is
+forced via checksum aggregates. Each row below is an independent
+core pairing; the hardware-ceiling column is a pure-multiprocessing
+control (no Spark) bounding what the shared box itself gives that
+pairing (CPU steal).
 
-| measure | N={args.n} | 4N={args.four_n} |
-|---|---|---|
-| best wall (s) | {best_n} | {best_4n} |
-| best turns/sec | {result['throughput_at_n']} | {result['throughput_at_4n']} |
-
-- input: {n_turns} turns (deterministic synthetic transcripts, seed=42,
-  including the 700-turn skew conversation)
-- hardware-ceiling control (pure multiprocessing, no Spark): the box
-  itself scales {args.n}->{args.four_n} procs at
-  **{ceiling['ceiling_efficiency']}** efficiency (CPU steal on the
-  shared VM) — this bounds ANY job's achievable figure
-- quietest samples: N={best_n}s, 4N={best_4n}s ->
-  **scaling efficiency = {result['scaling_efficiency']}**
-  ({"PASS" if result['pass'] else "FAIL"} vs target >= 0.8;
-  {result['scaling_efficiency_vs_hw_ceiling']} of the hardware ceiling)
-- all pair samples (t_N, t_4N): {json.dumps([(p['t_n'], p['t_4n']) for p in pairs])}
-- measured: {t_start}
+| pairing | turns | best wall N (s) | best wall 4N (s) | turns/s @N | turns/s @4N | efficiency | hw ceiling | vs ceiling | pass >= 0.8 |
+|---|---|---|---|---|---|---|---|---|---|
 """
+    rows = []
+    for key in sorted(runs, key=lambda k: int(k.split("->")[0])):
+        r = runs[key]
+        rows.append(
+            f"| {key} | {r['turns']} | {r['best_wall_at_n']} | {r['best_wall_at_4n']} "
+            f"| {r['throughput_at_n']} | {r['throughput_at_4n']} | **{r['scaling_efficiency']}** "
+            f"| {r['hardware_ceiling']['ceiling_efficiency']} | {r['scaling_efficiency_vs_hw_ceiling']} "
+            f"| {'PASS' if r['pass'] else 'FAIL'} |"
+        )
+    tail = "\n".join(
+        f"- {k}: pairs (t_N, t_4N) = {json.dumps([(p['t_n'], p['t_4n']) for p in runs[k]['pairs']])}"
+        f" measured {runs[k]['timestamp']}"
+        for k in sorted(runs, key=lambda x: int(x.split('->')[0]))
+    )
+    md = header + "\n".join(rows) + (
+        "\n\n- input: deterministic synthetic transcripts (seed=42) including"
+        "\n  the 700-turn skew conversation\n" + tail + "\n"
+    )
     (REPO / "BENCH/BASELINE.md").write_text(md)
     print("wrote BENCH/BASELINE.md, BENCH/scaling.json")
     return 0 if result["pass"] else 1

@@ -43,6 +43,15 @@ BENCH_QUERIES = [
     "quality_scores",
 ]
 
+#: Added in round 2 (kept separate so the round-over-round TOTAL stays
+#: comparable: r01_comparable_subtotal covers BENCH_QUERIES only).
+BENCH_QUERIES_R2 = [
+    "simhash_near_pairs",
+    "embedding_neardup",
+    "ann_topk_multiprobe",
+    "eval_score",
+]
+
 #: Synthetic transcript conversations per sf unit (sf0.1 -> 10000 convs,
 #: ~70k turns + the 700-turn skew tail).
 CONVS_PER_SF = 100000
@@ -60,7 +69,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--queries", default=",".join(BENCH_QUERIES))
+    ap.add_argument("--queries", default=",".join(BENCH_QUERIES + BENCH_QUERIES_R2))
     ap.add_argument("--skip-transcripts", action="store_true")
     args = ap.parse_args()
 
@@ -117,6 +126,7 @@ def main() -> int:
         total += dt
 
     throughput = round(turns / extract_sec, 1) if extract_sec else None
+    r01_subtotal = sum(v for k, v in queries.items() if k not in BENCH_QUERIES_R2)
     print(
         json.dumps(
             {
@@ -128,6 +138,7 @@ def main() -> int:
                 "cpus": args.cpus,
                 "turns": turns,
                 "extraction_throughput_turns_per_sec": throughput,
+                "r01_comparable_subtotal_sec": round(r01_subtotal, 3),
             }
         )
     )

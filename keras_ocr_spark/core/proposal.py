@@ -31,7 +31,7 @@ from __future__ import annotations
 from typing import List, NamedTuple, Sequence
 
 from ..config import DEFAULT_CONFIG, ExtractionConfig
-from .scoring import link_ratio, score_node
+from .scoring import link_ratio, score_and_ratio, score_node
 from .tokenizer import Node
 
 
@@ -58,7 +58,12 @@ def propose_spans(
     map gluing of ``detection.py:124-192``) but is trimmed from the edges.
     """
     spans: List[Span] = []
-    run: List[Node] = []
+    # Run entries carry (node, score, is_seed) — score/ratio computed
+    # ONCE per node (the trim + max passes in flush reused to recompute
+    # them 2-3x in the hot loop).
+    run: List[tuple] = []
+    text_t = cfg.text_threshold
+    link_t = cfg.link_threshold
 
     def flush() -> None:
         if not run:
@@ -67,35 +72,38 @@ def propose_spans(
         # data_generation.py:159-184).
         members = list(run)
         run.clear()
-        while members and not _is_seed(members[0], cfg):
-            members.pop(0)
-        while members and not _is_seed(members[-1], cfg):
-            members.pop()
-        if not members:
+        i, j = 0, len(members)
+        while i < j and not members[i][2]:
+            i += 1
+        while j > i and not members[j - 1][2]:
+            j -= 1
+        if i >= j:
             return
-        total = sum(n.tlen for n in members)
+        members = members[i:j]
+        total = sum(m[0].tlen for m in members)
         if total < cfg.size_threshold:  # detection.py:233-236
             return
-        best = max(score_node(n) for n in members)
+        best = max(m[1] for m in members)
         if best < cfg.detection_threshold:  # detection.py:238-241
             return
-        start = max(0, members[0].start - cfg.dilate)  # detection.py:257-270
-        end = min(raw_len, members[-1].end + cfg.dilate)
+        start = max(0, members[0][0].start - cfg.dilate)  # detection.py:257-270
+        end = min(raw_len, members[-1][0].end + cfg.dilate)
         spans.append(Span(start=start, end=end, score=best, n_nodes=len(members)))
 
     connector_streak = 0
     for node in nodes:
-        if _is_seed(node, cfg):
-            run.append(node)
+        score, ratio = score_and_ratio(node)
+        if score >= text_t and ratio <= link_t:  # seed
+            run.append((node, score, True))
             connector_streak = 0
-        elif _is_connector(node, cfg):
+        elif (not node.boiler) and ratio > link_t and node.tlen > 0:  # connector
             connector_streak += 1
             if connector_streak > cfg.max_connector_run:
                 # Link farm: >max_connector_run consecutive link nodes
                 # break the component (edge connectors trimmed in flush).
                 flush()
             else:
-                run.append(node)
+                run.append((node, score, False))
         else:
             flush()
             connector_streak = 0

@@ -41,5 +41,16 @@ def link_ratio(node: Node) -> float:
     return node.link_len / node.tlen if node.tlen else 0.0
 
 
+def score_and_ratio(node: Node) -> tuple:
+    """(score, link_ratio) in one pass — the hot loop computes both per
+    node; sharing the division keeps this the single source of the
+    scoring arithmetic (identical to score_node/link_ratio)."""
+    tlen = node.tlen
+    ratio = node.link_len / tlen if tlen else 0.0
+    if node.boiler:
+        return 0.0, ratio
+    return (tlen / (tlen + DENSITY_KNEE)) * (1.0 - LINK_PENALTY * ratio), ratio
+
+
 def score_nodes(nodes: Sequence[Node]) -> List[float]:
     return [score_node(n) for n in nodes]

@@ -181,6 +181,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 4,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """MinHash LSH: band the signature, bucket on (band_idx, band_key),
     expand pairs within each bucket.
@@ -189,9 +190,13 @@ def lsh_candidate_pairs(
     a band self-join would recompute the whole expensive signature
     subtree for each side. Pair expansion is per-bucket array algebra;
     docs sharing >= 1 band become candidate pairs (a < b, distinct).
-    At scale a pathological hot band (all-identical boilerplate docs)
-    shows up as one huge bucket — cap/triage upstream with exact_dedup,
-    which collapses byte-identical texts first.
+
+    ``max_bucket_size`` is the hot-bucket guard ENFORCED IN CODE: a
+    pathological band bucket (near-identical boilerplate that survived
+    exact_dedup) would otherwise expand O(n^2) pairs inside one task.
+    Buckets above the cap are dropped — at 10k members a bucket means
+    ~50M pairs, which no downstream verifier wants anyway; run
+    exact_dedup first to collapse byte-identical texts. None disables.
     """
     bands = signatures.select(
         "id",
@@ -214,6 +219,8 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    if max_bucket_size is not None:
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
             F.flatten(

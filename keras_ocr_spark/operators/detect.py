@@ -21,6 +21,8 @@ Scale notes:
 
 from __future__ import annotations
 
+from typing import Iterator
+
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -45,21 +47,33 @@ SPAN_TYPE = T.ArrayType(
 def propose_spans_udf(cfg: ExtractionConfig = DEFAULT_CONFIG):
     """Vectorized pandas UDF: text -> array<struct<start,end,score,n_nodes>>.
 
+    Iterator form (``Iterator[pd.Series] -> Iterator[pd.Series]``): the
+    per-task setup — closure constants, the kernel binding — happens once
+    per Python worker, then every Arrow batch streams through the same
+    loop (the ``model.predict``-over-batches pattern of
+    ``detection.py:698-743``; also where a heavyweight model/tokenizer
+    would be loaded once per executor).
+
     Proposal only — no decoding here: stage 2 decodes JVM-side and drops
     spans whose decode is empty (blank-label drop,
     ``recognition.py:483-488``), keeping Python work minimal.
     """
-
-    def _one(raw) -> list:
-        capped = (raw or "")[: cfg.max_len]
-        return [
-            {"start": s.start, "end": s.end, "score": s.score, "n_nodes": s.n_nodes}
-            for s in propose_spans(tokenize(capped), len(capped), cfg)
-        ]
+    max_len = cfg.max_len
 
     @F.pandas_udf(SPAN_TYPE)
-    def _propose(texts: pd.Series) -> pd.Series:
-        return texts.map(_one)
+    def _propose(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        # init-once-per-worker point: bind hot callables to locals.
+        _tokenize, _propose_spans, _cfg = tokenize, propose_spans, cfg
+
+        def _one(raw) -> list:
+            capped = (raw or "")[:max_len]
+            return [
+                {"start": s.start, "end": s.end, "score": s.score, "n_nodes": s.n_nodes}
+                for s in _propose_spans(_tokenize(capped), len(capped), _cfg)
+            ]
+
+        for texts in batches:
+            yield texts.map(_one)
 
     return _propose
 
