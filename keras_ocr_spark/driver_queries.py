@@ -711,6 +711,56 @@ def q_ann_cosine_topk(spark, sf_dir):
     return scored.orderBy(F.desc("cosine"), F.asc("id")).limit(10)
 
 
+def _qdot_sql(a: str, b: str, dim: int = 64, scale: int = 1000) -> str:
+    """Integer-quantized dot product of two vector expressions (DuckDB)."""
+    return (
+        f"list_sum(list_transform(range(1, {dim + 1}), "
+        f"i -> CAST(round(CAST({a}[i] AS DOUBLE) * {scale}) AS BIGINT) "
+        f"* CAST(round(CAST({b}[i] AS DOUBLE) * {scale}) AS BIGINT)))"
+    )
+
+
+@register(
+    "ann_topk_ivf",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+    vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_qdot_sql("embedding", "centroid")} DESC, centroid_id) AS rn
+      FROM vecs, cent),
+    cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM assigned WHERE rn = 1),
+    q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+      SELECT centroid_id AS cell
+      FROM cent, q
+      ORDER BY {_qdot_sql("q_embedding", "centroid")} DESC, centroid_id LIMIT 2)
+    SELECT CAST(v.vec_id AS BIGINT) AS id,
+           CAST({_qdot_sql("v.embedding", "q.q_embedding")} AS BIGINT) AS qdot
+    FROM cells v JOIN qcells ON v.cell = qcells.cell, q
+    ORDER BY qdot DESC, id LIMIT 10
+    """,
+)
+def q_ann_topk_ivf(spark, sf_dir):
+    """IVF ANN — the coarse-quantizer scale path next to LSH: assign
+    every vector to its nearest of 16 deterministic centroids (rows
+    vec_id 1..16 as seed centroids), probe the query's nprobe=2 nearest
+    cells, exact integer-quantized scoring of candidates only. At scale
+    the cell id is a partition key computed at ingest; here both engines
+    derive assignment + probing from the data, bit-identically."""
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    vecs = emb.filter(F.col("vec_id") != 0)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    out = S.ivf_topk(vecs, centroids, qdf, k=10, nprobe=2)
+    return out.select(F.col("id").cast("long").alias("id"), F.col("qdot").cast("long").alias("qdot"))
+
+
 # ==========================================================================
 # 5. Text analysis (training-data curation)
 # ==========================================================================
@@ -919,6 +969,122 @@ def q_salted_user_stats(spark, sf_dir):
         F.min("_min_us").cast("long").alias("first_us"),
         F.max("_max_us").cast("long").alias("last_us"),
     ).select(_b("user_id"), "n_events", "total_value", "n_types", "first_us", "last_us")
+
+
+# ==========================================================================
+# 5b. Multi-level aggregation (rollup / cube / grouping sets / pivot) —
+# beyond the reference: the summary-table primitives a curation
+# dashboard needs. All shuffle once on the grouping keys; Spark expands
+# grouping sets map-side, so no extra passes over the input.
+# ==========================================================================
+
+
+@register(
+    "rollup_lineitem",
+    """
+    SELECT coalesce(l_returnflag, '<all>') AS l_returnflag,
+           coalesce(l_linestatus, '<all>') AS l_linestatus,
+           CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(l_quantity) * 100 + 0.5) / 100 AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_lineitem(spark, sf_dir):
+    """ROLLUP hierarchy totals (flag -> flag+status -> grand total);
+    grouping_id disambiguates subtotal rows, whose NULL keys surface as
+    a '<all>' sentinel (keeps the driver's sort-based value hash away
+    from NULL comparisons)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+    ).select(
+        F.coalesce("l_returnflag", F.lit("<all>")).alias("l_returnflag"),
+        F.coalesce("l_linestatus", F.lit("<all>")).alias("l_linestatus"),
+        "gid",
+        "n",
+        "sum_qty",
+    )
+
+
+@register(
+    "cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, '<all>') AS o_orderstatus,
+           coalesce(o_orderpriority, '<all>') AS o_orderpriority,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def q_cube_orders(spark, sf_dir):
+    """CUBE over two dimensions — every marginal in one shuffle."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping_id().cast("long").alias("gid"),
+        F.count("*").cast("long").alias("n"),
+    ).select(
+        F.coalesce("o_orderstatus", F.lit("<all>")).alias("o_orderstatus"),
+        F.coalesce("o_orderpriority", F.lit("<all>")).alias("o_orderpriority"),
+        "gid",
+        "n",
+    )
+
+
+@register(
+    "grouping_sets_events",
+    """
+    SELECT CAST(coalesce(user_id, -1) AS BIGINT) AS user_id,
+           coalesce(event_type, '<all>') AS event_type,
+           CAST(GROUPING(user_id, event_type) AS BIGINT) AS gid,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE) AS total_value
+    FROM events GROUP BY GROUPING SETS ((user_id), (event_type))
+    """,
+)
+def q_grouping_sets_events(spark, sf_dir):
+    """Explicit GROUPING SETS: per-user and per-type marginals in one
+    pass (SQL API — grouping sets have no DataFrame verb)."""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_gs_events")
+    return spark.sql(
+        """
+        SELECT CAST(coalesce(user_id, -1) AS BIGINT) AS user_id,
+               coalesce(event_type, '<all>') AS event_type,
+               CAST(grouping_id(user_id, event_type) AS BIGINT) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE) AS total_value
+        FROM _gs_events GROUP BY GROUPING SETS ((user_id), (event_type))
+        """
+    )
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@register(
+    "pivot_event_types",
+    f"""
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           {", ".join(f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in _EVENT_TYPES)}
+    FROM events GROUP BY user_id
+    """,
+)
+def q_pivot_event_types(spark, sf_dir):
+    """Pivot (long -> wide counts) with an EXPLICIT category list — the
+    two-pass category-discovery variant is an anti-pattern at scale."""
+    ev = _t(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .count()
+        .na.fill(0, [t for t in _EVENT_TYPES])
+    )
+    return out.select(
+        _b("user_id"), *[F.col(t).cast("long").alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
 
 
 # ==========================================================================

@@ -201,6 +201,75 @@ def ann_topk_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse quantizer: assign every vector to its nearest centroid
+    by INTEGER-quantized dot product (deterministic, cross-engine exact;
+    ties break to the lowest centroid id).
+
+    ``centroids`` is (centroid_id, centroid) — tiny, broadcast. One
+    map-side broadcast join + a per-vector argmax: zero shuffles. At
+    100 TB the cell id is computed once at ingest and used as a
+    partition/bucket key, exactly like the LSH bucket.
+    """
+    from pyspark.sql import Window as W
+
+    joined = df.crossJoin(F.broadcast(centroids)).select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        F.col("centroid_id"),
+        quantized_dot_expr(F.col(vec_col), F.col("centroid")).alias("cdot"),
+    )
+    w = W.partitionBy("id").orderBy(F.desc("cdot"), F.asc("centroid_id"))
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", F.col("centroid_id").alias("cell"))
+    )
+
+
+def ivf_topk(
+    df: DataFrame,
+    centroids: DataFrame,
+    query_df: DataFrame,
+    k: int = 10,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: score only vectors whose cell is among the query's
+    ``nprobe`` nearest centroids (inverted-file probing — the classic
+    coarse-quantizer ANN, the second scale path next to LSH).
+
+    ``query_df`` is one row (q_embedding). Everything is quantized
+    integer arithmetic, so the result is oracle-exact. Plan: broadcast
+    centroids + broadcast query; the only wide op is the final top-k
+    (TakeOrderedAndProject).
+    """
+    assigned = ivf_assign(df, centroids, id_col, vec_col)
+    q_cells = (
+        query_df.crossJoin(F.broadcast(centroids))
+        .select(
+            F.col("centroid_id"),
+            quantized_dot_expr(F.col("q_embedding"), F.col("centroid")).alias("cdot"),
+        )
+        .orderBy(F.desc("cdot"), F.asc("centroid_id"))
+        .limit(nprobe)
+        .select(F.col("centroid_id").alias("cell"))
+    )
+    cands = assigned.join(F.broadcast(q_cells), "cell")
+    return (
+        cands.crossJoin(F.broadcast(query_df))
+        .select(F.col("id"), quantized_dot_expr(F.col("vec"), F.col("q_embedding")).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def all_pairs_above(
     df: DataFrame,
     threshold: float = 0.9,

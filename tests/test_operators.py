@@ -332,3 +332,35 @@ class TestPdfExtract:
         df = spark.createDataFrame([(0, bytearray(b"not a pdf"))], "id long, payload binary")
         r = M.pdf_extract_text(df).collect()[0]
         assert r.pdf_text is None and r.n_bytes == 9
+
+
+class TestIvf:
+    def test_ivf_recall_and_nprobe_monotone(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        vecs = emb.filter(F.col("vec_id") != 0)
+        qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+        query = emb.filter(F.col("vec_id") == 0).collect()[0].embedding
+        exact = {r.id for r in S.brute_force_topk_quantized(vecs, query, k=10).collect()}
+        got = {}
+        for nprobe in (1, 2, 4, 16):
+            got[nprobe] = {r.id for r in S.ivf_topk(vecs, cents, qdf, k=10, nprobe=nprobe).collect()}
+        # recall grows with nprobe; probing ALL cells == brute force
+        assert len(got[1] & exact) <= len(got[2] & exact) <= len(got[4] & exact)
+        assert got[16] == exact
+
+    def test_ivf_assign_is_total_and_deterministic(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        a1 = {r.id: r.cell for r in S.ivf_assign(emb, cents).collect()}
+        a2 = {r.id: r.cell for r in S.ivf_assign(emb, cents).collect()}
+        assert a1 == a2  # deterministic
+        assert len(a1) == emb.count()  # every vector assigned exactly once
