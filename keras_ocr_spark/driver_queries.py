@@ -971,6 +971,83 @@ def q_salted_user_stats(spark, sf_dir):
     ).select(_b("user_id"), "n_events", "total_value", "n_types", "first_us", "last_us")
 
 
+_SESSIONIZE_SEQ = 0
+
+
+@register(
+    "sessionize_stateful",
+    """
+    WITH g AS (
+      SELECT user_id, epoch_us(ts) AS ts_us,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+                  OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    segs AS (
+      SELECT user_id, ts_us,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
+      FROM g),
+    sess AS (
+      SELECT user_id, seg, min(ts_us) AS s, max(ts_us) AS e, count(*) AS n
+      FROM segs GROUP BY user_id, seg)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           CAST(s AS BIGINT) AS session_start_us, CAST(e AS BIGINT) AS session_end_us,
+           CAST(n AS BIGINT) AS n_events
+    FROM (SELECT *, max(s) OVER (PARTITION BY user_id) AS last_s FROM sess)
+    WHERE s <> last_s
+    """,
+)
+def q_sessionize_stateful(spark, sf_dir):
+    """CUSTOM STATEFUL STREAMING operator run to completion: the events
+    table streams through applyInPandasWithState sessionization
+    (streaming/sessionize.py — per-user open-session state across
+    micro-batches, 30-min gap), and the CLOSED sessions it emits are
+    returned as a batch frame. The oracle computes the same closed
+    sessions relationally (windowed sessionization minus each user's
+    final open session) — a full value-hash check on a stateful
+    streaming operator, not just a rows-only smoke."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from .streaming.sessionize import sessionize_stream
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    landing = f"/tmp/sessionize_landing_{tag}"
+    if not _P(landing).is_dir():
+        _P(landing).mkdir(parents=True)
+        _sh.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp, value double")
+        .parquet(landing)
+    )
+    # Unique sink name per invocation + explicit stop: a memory-sink
+    # queryName stays registered as active until stop(), so re-invoking
+    # the query in one session would otherwise collide (found by the
+    # run-it-twice probe).
+    global _SESSIONIZE_SEQ
+    _SESSIONIZE_SEQ += 1
+    name = f"closed_sessions_{tag}_{_SESSIONIZE_SEQ}"
+    q = (
+        sessionize_stream(stream, gap_minutes=30, timeout_ms=600_000)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("session_start_us").cast("long").alias("session_start_us"),
+        F.col("session_end_us").cast("long").alias("session_end_us"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # ==========================================================================
 # 5b. Multi-level aggregation (rollup / cube / grouping sets / pivot) —
 # beyond the reference: the summary-table primitives a curation

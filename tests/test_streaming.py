@@ -65,3 +65,64 @@ def test_watermarked_monitor_plan(spark, landing):
     agg = turn_rate_monitor(stream)
     assert agg.isStreaming
     assert "window" in agg.columns and "n_turns" in agg.columns
+
+
+def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
+    """applyInPandasWithState sessionization: closed sessions emitted by
+    the stream equal the batch window sessionization minus each user's
+    final (still-open) session. Files arrive in time order (3 chunks)
+    so state genuinely carries sessions ACROSS micro-batches."""
+    import time as _time
+    from pathlib import Path
+
+    import duckdb
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from keras_ocr_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    src = str(tmp_path / "events_landing")
+    Path(src).mkdir()
+    # Split the sf0.001 events into 3 time-ordered parquet FILES with
+    # increasing mtimes (the file source processes oldest-first).
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE ev AS SELECT user_id, ts, value FROM read_parquet('/root/testdata/sf0.001/events.parquet') ORDER BY ts"
+    )
+    n = con.execute("SELECT count(*) FROM ev").fetchone()[0]
+    cut1, cut2 = n // 3, 2 * n // 3
+    for i, (lo, hi) in enumerate([(0, cut1), (cut1, cut2), (cut2, n)]):
+        con.execute(
+            f"COPY (SELECT * FROM ev ORDER BY ts LIMIT {hi - lo} OFFSET {lo}) TO '{src}/chunk{i}.parquet' (FORMAT PARQUET)"
+        )
+        _time.sleep(1.1)
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        sessionize_stream(stream, gap_minutes=30, timeout_ms=600_000)
+        .writeStream.format("memory")
+        .queryName("closed_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM closed_sessions").collect()
+    }
+
+    batch = sessionize_batch(spark.read.parquet(src), gap_minutes=30)
+    w_last = F.max("session_start_us").over(Window.partitionBy("user_id"))
+    all_but_open = batch.withColumn("_last", w_last).filter(F.col("session_start_us") != F.col("_last"))
+    expect = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, round(r.total_value, 2))
+        for r in all_but_open.collect()
+    }
+    assert got == expect
+    assert len(got) > 50  # non-trivial session count
