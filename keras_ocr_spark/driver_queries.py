@@ -180,6 +180,82 @@ def q_runlength_segments(spark, sf_dir):
 
 
 @register(
+    "range_frame_totals",
+    """
+    SELECT CAST(user_id AS BIGINT) AS user_id, CAST(event_id AS BIGINT) AS event_id,
+           CAST(floor(sum(value) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) * 100 + 0.5) / 100
+                AS DOUBLE) AS v_10min,
+           CAST(count(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_10min
+    FROM events
+    """,
+)
+def q_range_frame_totals(spark, sf_dir):
+    """RANGE-frame window (value-based bounds): trailing-10-minute sums
+    per user — the event-time sliding window the ROWS frames elsewhere
+    can't express. RANGE frames are insensitive to peer order, so ties
+    on ts need no tie-breakers (unlike every ROWS query here)."""
+    ev = _t(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy(us).rangeBetween(-600_000_000, 0)
+    return ev.select(
+        _b("user_id"),
+        _b("event_id"),
+        pround(F.sum("value").over(w), 2).alias("v_10min"),
+        F.count("*").over(w).cast("long").alias("n_10min"),
+    )
+
+
+@register(
+    "percentiles_by_brand",
+    """
+    SELECT p_brand,
+           CAST(floor(quantile_cont(p_retailprice, 0.5) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS median_price,
+           CAST(floor(quantile_cont(p_retailprice, 0.9) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS p90_price,
+           CAST(min(p_retailprice) AS DOUBLE) AS min_price,
+           CAST(max(p_retailprice) AS DOUBLE) AS max_price
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_percentiles_by_brand(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont`` — both linear interpolation on the sorted
+    values; floor-rounded for cross-engine float hashing)."""
+    p = _t(spark, sf_dir, "part")
+    return p.groupBy("p_brand").agg(
+        pround(F.expr("percentile(p_retailprice, 0.5)"), 6).alias("median_price"),
+        pround(F.expr("percentile(p_retailprice, 0.9)"), 6).alias("p90_price"),
+        F.min("p_retailprice").cast("double").alias("min_price"),
+        F.max("p_retailprice").cast("double").alias("max_price"),
+    )
+
+
+@register(
+    "ntile_quartiles",
+    """
+    SELECT CAST(q AS BIGINT) AS q, CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(c_acctbal) * 100 + 0.5) / 100 AS DOUBLE) AS total_bal
+    FROM (
+      SELECT c_acctbal, ntile(4) OVER (ORDER BY c_acctbal, c_custkey) AS q
+      FROM customer)
+    GROUP BY q
+    """,
+)
+def q_ntile_quartiles(spark, sf_dir):
+    """ntile bucketing (quartiles over a deterministic total order) +
+    per-bucket rollup — the percentile-bucket assignment primitive."""
+    c = _t(spark, sf_dir, "customer")
+    w = W.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        .groupBy("q")
+        .agg(F.count("*").cast("long").alias("n"), pround(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(_b("q"), "n", "total_bal")
+    )
+
+
+@register(
     "group_max_filter",
     """
     SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
@@ -342,6 +418,49 @@ def q_union_limit(spark, sf_dir):
         F.lit("supplier").alias("src"),
     )
     return c.unionByName(s).orderBy("name", "src").limit(50)
+
+
+@register(
+    "intersect_nations",
+    """
+    SELECT CAST(c_nationkey AS BIGINT) AS nationkey FROM customer
+    INTERSECT
+    SELECT CAST(s_nationkey AS BIGINT) FROM supplier
+    """,
+)
+def q_intersect_nations(spark, sf_dir):
+    """INTERSECT set op (nations having both customers and suppliers) —
+    completes the union/except/distinct family (SURVEY §2.7)."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").cast("long").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").cast("long").alias("nationkey"))
+    return c.intersect(s)
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+           CAST(floor(p.p_retailprice * 100 + 0.5) / 100 AS DOUBLE) AS p_retailprice
+    FROM part p
+    WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) FROM part p2
+                             WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def q_scalar_subquery_above_avg(spark, sf_dir):
+    """Correlated scalar subquery (parts above their brand's average):
+    Catalyst decorrelates this into an aggregate + join — the optimizer
+    surface a declarative engine must handle, free at any scale."""
+    p = _t(spark, sf_dir, "part")
+    p.createOrReplaceTempView("_part_ssq")
+    return spark.sql(
+        """
+        SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, p.p_brand,
+               CAST(floor(p.p_retailprice * 100 + 0.5) / 100 AS DOUBLE) AS p_retailprice
+        FROM _part_ssq p
+        WHERE p.p_retailprice > (SELECT avg(p2.p_retailprice) FROM _part_ssq p2
+                                 WHERE p2.p_brand = p.p_brand)
+        """
+    )
 
 
 @register(
