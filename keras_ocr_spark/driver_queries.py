@@ -59,6 +59,14 @@ def _b(col):
     return F.col(col).cast("long").alias(col)
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embeddings, split for vector-math-heavy work — same rationale as
+    :func:`_docs`: the sf tables are single tiny files (one scan
+    partition), which would serialize per-row vector kernels; at 100 TB
+    the scan itself provides the partitions."""
+    return _t(spark, sf_dir, "embeddings").repartition(spark.sparkContext.defaultParallelism)
+
+
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {}
 
 
@@ -870,7 +878,7 @@ def q_ann_topk_ivf(spark, sf_dir):
     cells, exact integer-quantized scoring of candidates only. At scale
     the cell id is a partition key computed at ingest; here both engines
     derive assignment + probing from the data, bit-identically."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
     )
@@ -1654,7 +1662,7 @@ def q_embedding_neardup(spark, sf_dir):
     exact cosine on candidates only. The oracle reproduces the buckets
     with the same integer arithmetic; pytest cross-checks recall against
     the exact all-pairs join at sf (tests/test_operators.py)."""
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     pairs = S.all_pairs_above(emb, threshold=-1.0, n_planes=6, seed=42, dim=64)
     return (
         pairs.withColumn("cosine_r", pround(F.col("cosine"), 5))
@@ -1690,8 +1698,8 @@ def q_ann_topk_multiprobe(spark, sf_dir):
     (similarity.probe_buckets)."""
     from .functions.hashing import quantized_dot_expr
 
-    emb = _t(spark, sf_dir, "embeddings")
-    bucketed = emb.withColumn("bucket", S.lsh_bucket_expr(F.col("embedding"), 64, 6, 42))
+    emb = _emb(spark, sf_dir)
+    bucketed = emb.withColumn("bucket", S.lsh_bucket_udf(64, 6, 42)(F.col("embedding")))
     qrow = bucketed.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("q_embedding"), F.col("bucket").alias("q_bucket")
     )

@@ -27,10 +27,12 @@ from __future__ import annotations
 
 import hashlib
 import math
-from typing import List, Sequence
+from typing import Iterator, List, Sequence
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..functions.hashing import dot_expr, norm_expr, quantized_dot_expr
 
@@ -144,6 +146,30 @@ def lsh_bucket_expr(vec_col: Column, dim: int, n_planes: int = 8, seed: int = 42
     for p, plane in enumerate(planes):
         bucket = bucket + F.when(_plane_qdot_expr(vec_col, plane) > 0, F.lit(1 << p)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_bucket_udf(dim: int, n_planes: int = 6, seed: int = 42):
+    """Arrow-vectorized twin of :func:`lsh_bucket_expr` (same integer
+    arithmetic, ~1000x less per-row overhead: interpreted higher-order
+    functions cost ~20us/op and the bucket is 6x64 multiply-adds, so the
+    expression path pays ~8ms/row; one numpy int64 matmul per Arrow
+    batch pays ~1us/row). Equality with the expression twin is asserted
+    in tests AND by the DuckDB oracle on every driver run."""
+    import numpy as np
+
+    planes = np.array(quantized_planes(dim, n_planes, seed), dtype=np.int64)  # (P, D)
+    weights = (np.int64(1) << np.arange(n_planes, dtype=np.int64))
+
+    @F.pandas_udf(T.LongType())
+    def _bucket(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)  # (N, D)
+            # round half away from zero, exactly like F.round/_round_half_away
+            q = (np.floor(np.abs(m) * VEC_SCALE + 0.5) * np.sign(m)).astype(np.int64)
+            dots = q @ planes.T  # (N, P) int64
+            yield pd.Series(((dots > 0) * weights).sum(axis=1))
+
+    return _bucket
 
 
 def lsh_bucket_py(vec: Sequence[float], n_planes: int, seed: int = 42) -> int:
@@ -278,6 +304,7 @@ def all_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int = 64,
+    fast: bool = True,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: LSH-bucket EQUI-join (NOT the
     quadratic cross join), then exact cosine filter on candidates.
@@ -288,11 +315,19 @@ def all_pairs_above(
     tests/test_plan_shape.py). Approximation is the usual LSH one:
     a pair is a candidate iff NO hyperplane separates it (all n_planes
     sign bits equal), which is what the DuckDB oracle computes too.
+    ``fast`` uses the numpy bucket kernel (identical values, see
+    :func:`lsh_bucket_udf`); the expression path remains for no-Python
+    plans.
     """
+    bucket = (
+        lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col))
+        if fast
+        else lsh_bucket_expr(F.col(vec_col), dim, n_planes, seed)
+    )
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        lsh_bucket_expr(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        bucket.alias("bucket"),
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")

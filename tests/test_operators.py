@@ -364,3 +364,17 @@ class TestIvf:
         a2 = {r.id: r.cell for r in S.ivf_assign(emb, cents).collect()}
         assert a1 == a2  # deterministic
         assert len(a1) == emb.count()  # every vector assigned exactly once
+
+
+class TestLshBucketFastPath:
+    def test_udf_equals_expression_and_python(self, spark):
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        both = emb.select(
+            "vec_id",
+            S.lsh_bucket_expr(F.col("embedding"), 64, 6, 42).alias("b_expr"),
+            S.lsh_bucket_udf(64, 6, 42)(F.col("embedding")).alias("b_udf"),
+        ).collect()
+        for r in both:
+            assert r.b_expr == r.b_udf, r.vec_id
