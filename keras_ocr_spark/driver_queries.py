@@ -495,6 +495,78 @@ def q_topk_argmax(spark, sf_dir):
 
 
 @register(
+    "uniqueness_check",
+    """
+    SELECT 'customer.c_custkey' AS key, CAST(count(*) AS BIGINT) AS n,
+           CAST(count(DISTINCT c_custkey) AS BIGINT) AS n_distinct,
+           count(*) = count(DISTINCT c_custkey) AS is_unique
+    FROM customer
+    UNION ALL
+    SELECT 'orders.o_orderkey', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT o_orderkey) AS BIGINT),
+           count(*) = count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber)', CAST(count(*) AS BIGINT),
+           CAST(count(DISTINCT l_orderkey * 100 + l_linenumber) AS BIGINT),
+           count(*) = count(DISTINCT l_orderkey * 100 + l_linenumber) FROM lineitem
+    """,
+)
+def q_uniqueness_check(spark, sf_dir):
+    """Uniqueness assertion as data (count == countDistinct per key) —
+    the alphabet-uniqueness check of data_generation.py:633-636 as a
+    quality gate; note (l_orderkey, l_linenumber) is intentionally NOT
+    unique in the synthetic data (why every ROWS window here carries
+    full tie-breakers)."""
+    c = _t(spark, sf_dir, "customer").agg(
+        F.lit("customer.c_custkey").alias("key"),
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("c_custkey").cast("long").alias("n_distinct"),
+        (F.count("*") == F.countDistinct("c_custkey")).alias("is_unique"),
+    )
+    o = _t(spark, sf_dir, "orders").agg(
+        F.lit("orders.o_orderkey").alias("key"),
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_distinct"),
+        (F.count("*") == F.countDistinct("o_orderkey")).alias("is_unique"),
+    )
+    pair = F.col("l_orderkey") * 100 + F.col("l_linenumber")
+    li = _t(spark, sf_dir, "lineitem").agg(
+        F.lit("lineitem.(l_orderkey,l_linenumber)").alias("key"),
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct(pair).cast("long").alias("n_distinct"),
+        (F.count("*") == F.countDistinct(pair)).alias("is_unique"),
+    )
+    return c.unionByName(o).unionByName(li)
+
+
+#: Tool weight config — the weights-key lookup dimension
+#: (detection.py:679-690 / recognition.py:369-371 analog): a tiny
+#: dict shipped with the job and broadcast into the plan.
+_EVENT_WEIGHTS = {"click": 1.0, "view": 0.5, "purchase": 5.0, "signup": 3.0, "error": 0.0}
+
+
+@register(
+    "broadcast_config_lookup",
+    f"""
+    SELECT CAST(event_id AS BIGINT) AS event_id, event_type,
+           CAST(floor(value * CASE event_type
+             {" ".join(f"WHEN '{k}' THEN {v}" for k, v in _EVENT_WEIGHTS.items())}
+             ELSE 1.0 END * 1000000 + 0.5) / 1000000 AS DOUBLE) AS weighted
+    FROM events
+    """,
+)
+def q_broadcast_config_lookup(spark, sf_dir):
+    """Weights-key broadcast lookup (detection.py:679-690): a config
+    dict becomes a map literal inside the plan (the broadcast-variable
+    pattern for small dimensions) — per-row element_at, no join, no
+    shuffle."""
+    m = F.create_map(*[x for k, v in _EVENT_WEIGHTS.items() for x in (F.lit(k), F.lit(v))])
+    ev = _t(spark, sf_dir, "events")
+    weighted = F.col("value") * F.coalesce(F.element_at(m, F.col("event_type")), F.lit(1.0))
+    return ev.select(_b("event_id"), "event_type", pround(weighted, 6).alias("weighted"))
+
+
+@register(
     "distinct_segments",
     """
     SELECT DISTINCT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer
