@@ -134,3 +134,29 @@ class TestFilterPushdown:
         df = spark.read.parquet(transcripts_path).filter(F.col("role") == "user").select("conv_id")
         plan = plan_of(df)
         assert "PushedFilters: [IsNotNull(role), EqualTo(role,user)]" in plan
+
+
+class TestNoAccidentalCartesian:
+    """Blanket guarantee over the ENTIRE driver contract: no query plan
+    contains a CartesianProduct, and BroadcastNestedLoopJoin appears only
+    where a single-row broadcast side is the intended plan (the ANN
+    queries broadcast the 1-row query vector / probe-cell list)."""
+
+    #: Queries where a BNLJ against a broadcast 1-row side is the design.
+    ALLOW_BNLJ = {"ann_cosine_topk", "ann_topk_quantized", "ann_topk_multiprobe", "ann_topk_ivf"}
+    #: Executes a streaming job on invocation — plan inspected in its own test.
+    SKIP = {"sessionize_stateful"}
+
+    def test_no_cartesian_any_query(self, spark):
+        from keras_ocr_spark.driver_queries import QUERIES
+
+        bad = []
+        for name, (fn, _sql) in QUERIES.items():
+            if name in self.SKIP:
+                continue
+            plan = fn(spark, "/root/testdata/sf0.001")._jdf.queryExecution().executedPlan().toString()
+            if "CartesianProduct" in plan:
+                bad.append((name, "CartesianProduct"))
+            if "BroadcastNestedLoopJoin" in plan and name not in self.ALLOW_BNLJ:
+                bad.append((name, "BroadcastNestedLoopJoin"))
+        assert not bad, bad
