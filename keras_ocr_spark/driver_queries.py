@@ -644,6 +644,63 @@ def q_extract_documents(spark, sf_dir):
     )
 
 
+@register(
+    "conversation_rollup",
+    """
+    WITH turns AS (
+      SELECT 'doc-' || CAST(doc_id % 50 AS VARCHAR) AS conv_id,
+             CAST(doc_id // 50 AS BIGINT) AS turn_idx,
+             trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS clean_text
+      FROM documents)
+    SELECT conv_id,
+           CAST(count(*) AS BIGINT) AS n_turns,
+           string_agg(clean_text, chr(10) ORDER BY turn_idx) AS conv_text
+    FROM turns GROUP BY conv_id
+    """,
+)
+def q_conversation_rollup(spark, sf_dir):
+    """Conversation-level reassembly on top of the FULL pipeline:
+    extract per turn (map-only), then one shuffle groupBy(conv_id) with
+    ordered collect_list -> '\\n'-joined conversation documents — the
+    convert_lines_to_paragraph semantics (data_generation.py:273-276)
+    lifted from spans-within-turn to turns-within-conversation."""
+    fn, _ = QUERIES["extract_documents"]
+    turns = fn(spark, sf_dir)
+    ordered = F.sort_array(F.collect_list(F.struct("turn_idx", "clean_text")))
+    return turns.groupBy("conv_id").agg(
+        F.count("*").cast("long").alias("n_turns"),
+        F.array_join(F.transform(ordered, lambda s: s["clean_text"]), "\n").alias("conv_text"),
+    )
+
+
+@register(
+    "pdf_extract_pipeline",
+    """
+    SELECT 'pdf-' || CAST(doc_id AS VARCHAR) AS conv_id,
+           CAST(0 AS BIGINT) AS turn_idx,
+           trim(regexp_replace(text, '[ \t\r\n]+', ' ', 'g')) AS clean_text,
+           CAST(1 AS BIGINT) AS n_spans
+    FROM documents
+    """,
+)
+def q_pdf_extract_pipeline(spark, sf_dir):
+    """END-TO-END byte-stream flagship: binary PDF-ish payloads ->
+    mapInPandas text parse -> the same propose/decode/reassemble
+    pipeline as HTML transcripts (operators.multimodal.extract_from_pdfs).
+    The oracle knows the synthesis (clean text == ws-collapsed source),
+    so the whole binary -> spans -> clean-text path is value-checked."""
+    from .operators.multimodal import extract_from_pdfs, synth_pdf_payloads
+
+    docs = _docs(spark, sf_dir)
+    out = extract_from_pdfs(synth_pdf_payloads(docs))
+    return out.select(
+        "conv_id",
+        F.col("turn_idx").cast("long").alias("turn_idx"),
+        "clean_text",
+        F.size("spans").cast("long").alias("n_spans"),
+    )
+
+
 # ==========================================================================
 # 3. Dedup operators (training-data pipeline, first-class)
 # ==========================================================================

@@ -140,6 +140,23 @@ def pdf_extract_text(df: DataFrame) -> DataFrame:
     return df.select("id", "payload").mapInPandas(op, schema=PDF_TEXT_SCHEMA)
 
 
+def extract_from_pdfs(df: DataFrame, cfg=None) -> DataFrame:
+    """Full byte-stream flagship composition: binary PDF-ish payloads ->
+    text (mapInPandas parse) -> the SAME two-stage propose/decode/
+    reassemble pipeline the HTML transcripts use. One extra Python
+    boundary (the parser) ahead of the standard map-only plan; documents
+    become single-turn conversations keyed by payload id."""
+    from ..config import DEFAULT_CONFIG
+    from ..plans.pipeline import extract
+
+    texts = pdf_extract_text(df).select(
+        F.concat(F.lit("pdf-"), F.col("id").cast("string")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.coalesce(F.col("pdf_text"), F.lit("")).alias("text"),
+    )
+    return extract(texts, cfg=cfg or DEFAULT_CONFIG)
+
+
 def synth_media(spark, n: int = 20, seed: int = 42) -> DataFrame:
     """Deterministic fake media table (binary payloads from md5 bytes)."""
     import random

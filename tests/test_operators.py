@@ -378,3 +378,18 @@ class TestLshBucketFastPath:
         ).collect()
         for r in both:
             assert r.b_expr == r.b_udf, r.vec_id
+
+
+class TestApproxAggregates:
+    def test_approx_count_distinct_within_tolerance(self, spark):
+        """approx_count_distinct (HLL++) has no cross-engine oracle (the
+        sketch differs per engine) — assert the 5%-rsd contract against
+        the exact count instead."""
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        row = ev.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
+        ).collect()[0]
+        assert abs(row.approx - row.exact) <= max(3, 0.15 * row.exact)
