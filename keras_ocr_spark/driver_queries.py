@@ -1639,7 +1639,10 @@ def q_span_iou_golden(spark, sf_dir):
 # span (FPs) and a conditional second-truth match (FNs when absent).
 # Data-shape precondition: documents.text is >= 41 chars (holds with huge
 # margin in the synthetic tables; guarded in tests/test_entry.py).
-_EVAL_SQL = """
+def _eval_sql(sim_thr: float = 0.5) -> str:
+    """The per-turn eval oracle, parametrized by the text-similarity
+    threshold (the IoU threshold stays 0.5 — the reference's default)."""
+    return f"""
     WITH t AS (
       SELECT doc_id AS turn_id, 0 AS span_id, 0 AS s, 20 AS e,
              substr(text, 1, 20) AS txt, FALSE AS ign FROM documents
@@ -1657,7 +1660,7 @@ _EVAL_SQL = """
     cand AS (
       SELECT t.turn_id, t.span_id AS ts, p.span_id AS ps, t.ign,
              CASE WHEN coalesce(1.0 - CAST(levenshtein(t.txt, p.txt) AS DOUBLE)
-                                / nullif(greatest(length(t.txt), length(p.txt)), 0), 1.0) >= 0.5
+                                / nullif(greatest(length(t.txt), length(p.txt)), 0), 1.0) >= {sim_thr}
                   THEN 1 ELSE 0 END AS sim_ok
       FROM t JOIN p ON t.turn_id = p.turn_id
       WHERE CAST(greatest(least(t.e, p.e) - greatest(t.s, p.s), 0) AS DOUBLE)
@@ -1686,6 +1689,9 @@ _EVAL_SQL = """
 """
 
 
+_EVAL_SQL = _eval_sql(0.5)
+
+
 @register("eval_score", _EVAL_SQL)
 def q_eval_score(spark, sf_dir):
     """Per-turn precision/recall counting (evaluation.score,
@@ -1697,6 +1703,20 @@ def q_eval_score(spark, sf_dir):
     flags."""
     from .evaluation import score_by_turn
 
+    true_df, pred_df = _eval_frames(spark, sf_dir)
+    out = score_by_turn(true_df, pred_df)
+    return out.select(
+        F.col("turn_id").cast("long").alias("turn_id"),
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("near_tp").cast("long").alias("near_tp"),
+    )
+
+
+def _eval_frames(spark, sf_dir):
+    """The synthesized (true, pred) span frames shared by eval_score and
+    threshold_sweep (see the shape notes above _eval_sql)."""
     docs = _t(spark, sf_dir, "documents")
     text = F.col("text")
     shift = F.col("doc_id") % 3
@@ -1738,14 +1758,57 @@ def q_eval_score(spark, sf_dir):
         F.lit(39).alias("end"),
         F.substring(text, 22, 18).alias("text"),
     )
-    out = score_by_turn(t0.unionByName(t1), p0.unionByName(p1).unionByName(p2))
-    return out.select(
-        F.col("turn_id").cast("long").alias("turn_id"),
-        F.col("tp").cast("long").alias("tp"),
-        F.col("fp").cast("long").alias("fp"),
-        F.col("fn").cast("long").alias("fn"),
-        F.col("near_tp").cast("long").alias("near_tp"),
-    )
+    return t0.unionByName(t1), p0.unionByName(p1).unionByName(p2)
+
+
+_SWEEP_THRESHOLDS = [0.3, 0.5, 0.7, 0.9]
+
+
+def _sweep_arm_sql(thr: float) -> str:
+    return f"""
+    SELECT CAST({thr} AS DOUBLE) AS sim_thr,
+           CAST(sum(tp) AS BIGINT) AS tp, CAST(sum(fp) AS BIGINT) AS fp,
+           CAST(sum(fn) AS BIGINT) AS fn, CAST(sum(near_tp) AS BIGINT) AS near_tp,
+           CAST(floor(CAST(sum(tp) AS DOUBLE) / (sum(tp) + sum(fp)) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS precision,
+           CAST(floor(CAST(sum(tp) AS DOUBLE) / (sum(tp) + sum(fn)) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS recall
+    FROM ({_eval_sql(thr)})
+    """
+
+
+@register(
+    "threshold_sweep",
+    " UNION ALL ".join(_sweep_arm_sql(t) for t in _SWEEP_THRESHOLDS),
+)
+def q_threshold_sweep(spark, sf_dir):
+    """Threshold calibration: corpus precision/recall at several text-
+    similarity thresholds — the reference's README benchmark loop
+    (evaluate a detector+recognizer config per matching criterion,
+    README.md:55-76) as ONE query. TP/near-TP trade off as the
+    threshold rises while FP/FN stay fixed (candidacy is IoU-only), so
+    the sweep also property-checks the counting rules."""
+    from .evaluation import score_by_turn
+
+    true_df, pred_df = _eval_frames(spark, sf_dir)
+    arms = []
+    for thr in _SWEEP_THRESHOLDS:
+        per_turn = score_by_turn(true_df, pred_df, iou_threshold=0.5, similarity_threshold=thr)
+        arms.append(
+            per_turn.agg(
+                F.lit(float(thr)).alias("sim_thr"),
+                F.sum("tp").cast("long").alias("tp"),
+                F.sum("fp").cast("long").alias("fp"),
+                F.sum("fn").cast("long").alias("fn"),
+                F.sum("near_tp").cast("long").alias("near_tp"),
+                pround(F.sum("tp") / (F.sum("tp") + F.sum("fp")), 6).alias("precision"),
+                pround(F.sum("tp") / (F.sum("tp") + F.sum("fn")), 6).alias("recall"),
+            )
+        )
+    out = arms[0]
+    for a in arms[1:]:
+        out = out.unionByName(a)
+    return out
+
+
 
 
 _PAIR_COS_SQL = """
