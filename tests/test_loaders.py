@@ -46,3 +46,49 @@ def test_grouped_text_sessionization(spark, data_dir):
     df = load_grouped_text(spark, str(data_dir / "gt.txt"))
     groups = sorted([tuple(r.lines) for r in df.collect()])
     assert groups == [("line four", "line five"), ("line one", "line two"), ("line three",)]
+
+
+class TestLayout:
+    def test_compaction_hits_target_and_clusters(self, spark, tmp_path):
+        """Small-files compaction: 64 tiny files -> ~planned file count;
+        clustering makes per-file conv_id ranges disjoint (file pruning
+        evidence for key predicates)."""
+        from keras_ocr_spark.sources.layout import cluster_stats, compact, plan_num_files
+        from keras_ocr_spark.sources.transcripts import generate_pandas
+
+        src = str(tmp_path / "fragmented")
+        out = str(tmp_path / "compacted")
+        pdf = generate_pandas(n_convs=300, make_skewed=False)
+        spark.createDataFrame(
+            pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+        ).repartition(64).write.parquet(src)
+
+        res = compact(spark, src, out, target_file_mb=1, cluster_cols=["conv_id", "turn_idx"])
+        assert res["files_before"] == 64
+        assert res["files_after"] == res["planned_files"] == plan_num_files(res["bytes"], 1)
+        assert res["files_after"] < res["files_before"]
+
+        # same rows, exactly once
+        assert spark.read.parquet(out).count() == len(pdf)
+
+        # clustering: per-file conv_id ranges must be non-overlapping
+        # (range partitioning) -> a conv_id predicate touches ~1 file.
+        ranges = sorted(
+            (r.key_min, r.key_max) for r in cluster_stats(spark, out, "conv_id").collect()
+        )
+        for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+            assert hi1 <= lo2, (hi1, lo2)
+
+    def test_compact_without_clustering(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from keras_ocr_spark.sources.layout import compact
+
+        src = str(tmp_path / "frag2")
+        out = str(tmp_path / "comp2")
+        spark.range(10000).withColumn("s", F.md5(F.col("id").cast("string"))).repartition(
+            32
+        ).write.parquet(src)
+        res = compact(spark, src, out, target_file_mb=64)
+        assert res["files_after"] == 1  # tiny data -> one file
+        assert spark.read.parquet(out).count() == 10000
