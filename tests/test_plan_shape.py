@@ -160,3 +160,42 @@ class TestNoAccidentalCartesian:
             if "BroadcastNestedLoopJoin" in plan and name not in self.ALLOW_BNLJ:
                 bad.append((name, "BroadcastNestedLoopJoin"))
         assert not bad, bad
+
+
+class TestAqeSkewJoin:
+    def test_skewed_join_is_split_by_aqe(self, spark, tmp_path):
+        """The north rule's runtime skew remedy: a join where 90% of the
+        probe side shares one key must show skew=true (split partitions)
+        in the FINAL adaptive plan. Thresholds are scaled down to fire
+        at test size; the same knobs govern the 100 TB configuration."""
+        # Runtime-settable AQE knobs on the shared session; restored after.
+        knobs = {
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        }
+        saved = {k: spark.conf.get(k, None) for k in knobs}
+        for k, v in knobs.items():
+            spark.conf.set(k, v)
+        try:
+            left = spark.range(200000).select(
+                F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 1000).alias("k"),
+                F.md5(F.col("id").cast("string")).alias("payload"),
+            )
+            right = spark.range(1000).select(
+                F.col("id").alias("k"), F.md5((F.col("id") + 5).cast("string")).alias("dim")
+            )
+            j = left.join(right, "k").select(F.count("*").alias("n"), F.sum(F.crc32("payload")).alias("c"))
+            row = j.collect()[0]  # executing THIS DataFrame finalizes ITS adaptive plan
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert row["n"] == 200000
+            assert "isFinalPlan=true" in plan
+            assert "skew=true" in plan
+        finally:
+            for k, v in saved.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
