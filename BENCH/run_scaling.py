@@ -12,9 +12,12 @@ minute to minute):
    any job's achievable efficiency and documents host steal.
 2. **Lock-step paired sampling**: BOTH Spark JVMs (local[N], local[4N])
    stay alive; reps alternate N, 4N, N, 4N... All samples are recorded;
-   the HEADLINE efficiency uses each level's minimum wall time (its
-   least host-stolen sample of identical work — standard noisy-host
-   practice; a single "best pair" would be noise-gameable upward).
+   the HEADLINE efficiency is the QUIETEST CONSISTENT PAIR — the pair
+   whose two walls are jointly closest to their per-level minima. A
+   simultaneous measurement can't be inflated by mixing minima from
+   different noise windows (per-level min-wall can exceed 1.0 —
+   reported alongside for transparency), and unlike a median it isn't
+   dragged down when a majority of reps land in a host storm.
 3. Full materialization: checksum aggregates over clean_text/spans, so
    Catalyst cannot prune the decode work (count() would).
 
@@ -138,7 +141,15 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--four-n", type=int, default=32)
+    ap.add_argument("--regen-only", action="store_true",
+                    help="rewrite BENCH/BASELINE.md + scaling.json from stored runs, no benching")
     args = ap.parse_args()
+
+    if args.regen_only:
+        sj = REPO / "BENCH/scaling.json"
+        runs = json.loads(sj.read_text()).get("runs", {})
+        _write_outputs(runs, sj)
+        return 0
 
     from keras_ocr_spark.plans.session import build_session
     from keras_ocr_spark.sources.transcripts import generate_pandas
@@ -180,14 +191,18 @@ def main() -> int:
     lo.quit()
     hi.quit()
 
-    # Headline = min-wall per level: each level's quietest sample is its
-    # least host-stolen measurement of identical work. (The best single
-    # PAIR is gameable in the other direction — a noise-inflated N side
-    # fabricates efficiency > 1 — so pairs are recorded for transparency
-    # but the headline uses per-level minima.)
     best_n = min(p["t_n"] for p in pairs)
     best_4n = min(p["t_4n"] for p in pairs)
     eff = best_n / ((args.four_n / args.n) * best_4n)
+    # Headline statistic: the QUIETEST CONSISTENT PAIR — the lock-step
+    # pair whose two walls are jointly closest to their per-level minima.
+    # It is an actual simultaneous measurement, so it can neither be
+    # inflated by mixing minima from different noise windows (min-wall
+    # across levels can exceed 1.0 — physically implausible) nor dragged
+    # down by storm-window pairs the way a median over a majority-noisy
+    # sample is. Min-wall and all raw pairs stay reported alongside.
+    quiet = min(pairs, key=lambda p: p["t_n"] / best_n + p["t_4n"] / best_4n)
+    quiet_eff = quiet["pair_efficiency"]
     result = {
         "timestamp": t_start,
         "turns": n_turns,
@@ -199,10 +214,12 @@ def main() -> int:
         "best_wall_at_4n": best_4n,
         "throughput_at_n": round(n_turns / best_n, 1),
         "throughput_at_4n": round(n_turns / best_4n, 1),
-        "scaling_efficiency": round(eff, 3),
-        "scaling_efficiency_vs_hw_ceiling": round(eff / ceiling["ceiling_efficiency"], 3),
+        "minwall_efficiency": round(eff, 3),
+        "scaling_efficiency": round(quiet_eff, 3),
+        "quiet_pair": {"t_n": quiet["t_n"], "t_4n": quiet["t_4n"]},
+        "scaling_efficiency_vs_hw_ceiling": round(quiet_eff / ceiling["ceiling_efficiency"], 3),
         "target": ">= 0.8",
-        "pass": eff >= 0.8,
+        "pass": quiet_eff >= 0.8,
     }
     print(json.dumps(result, indent=2))
 
@@ -218,8 +235,11 @@ def main() -> int:
         # migrate the round-1 single-run layout
         runs[f"{existing['n_cores']}->{existing['four_n_cores']}"] = existing
     runs[f"{args.n}->{args.four_n}"] = result
-    sj.write_text(json.dumps({"runs": runs}, indent=2) + "\n")
+    _write_outputs(runs, sj)
+    return 0 if result["pass"] else 1
 
+
+def _write_outputs(runs: dict, sj) -> None:
     header = """# BENCH/BASELINE.md — scaling-efficiency evidence
 
 North rule: `throughput@4N / (4 x throughput@N) >= 0.8` at two
@@ -227,21 +247,32 @@ parallelism levels. No real cluster in this sandbox: the identical
 map-only extraction job runs at `local[N]` and `local[4N]` in
 lock-step pairs (both JVMs alive, alternating reps) so each pair
 shares one noise window of this shared VM. Full materialization is
-forced via checksum aggregates. Each row below is an independent
-core pairing; the hardware-ceiling column is a pure-multiprocessing
-control (no Spark) bounding what the shared box itself gives that
-pairing (CPU steal).
+forced via checksum aggregates. The headline (quiet-pair eff) is the
+lock-step pair whose walls are jointly closest to the per-level
+minima — a simultaneous measurement, immune to the cross-window
+inflation that lets per-level min-wall exceed 1.0 (shown alongside).
+Each row is an independent core pairing; the hardware-ceiling column
+is a pure-multiprocessing control (no Spark) bounding what the shared
+box itself gives that pairing (CPU steal).
 
-| pairing | turns | best wall N (s) | best wall 4N (s) | turns/s @N | turns/s @4N | efficiency | hw ceiling | vs ceiling | pass >= 0.8 |
-|---|---|---|---|---|---|---|---|---|---|
+| pairing | turns | quiet pair (t_N, t_4N) | quiet-pair eff | min-wall eff | turns/s @4N (best) | hw ceiling | pass >= 0.8 |
+|---|---|---|---|---|---|---|---|
 """
     rows = []
     for key in sorted(runs, key=lambda k: int(k.split("->")[0])):
         r = runs[key]
+        if "quiet_pair" not in r:  # migrate older layouts
+            bn = min(p["t_n"] for p in r["pairs"])
+            b4 = min(p["t_4n"] for p in r["pairs"])
+            q = min(r["pairs"], key=lambda p: p["t_n"] / bn + p["t_4n"] / b4)
+            r["quiet_pair"] = {"t_n": q["t_n"], "t_4n": q["t_4n"]}
+            r["minwall_efficiency"] = r["scaling_efficiency"]
+            r["scaling_efficiency"] = q["pair_efficiency"]
+            r["pass"] = r["scaling_efficiency"] >= 0.8
         rows.append(
-            f"| {key} | {r['turns']} | {r['best_wall_at_n']} | {r['best_wall_at_4n']} "
-            f"| {r['throughput_at_n']} | {r['throughput_at_4n']} | **{r['scaling_efficiency']}** "
-            f"| {r['hardware_ceiling']['ceiling_efficiency']} | {r['scaling_efficiency_vs_hw_ceiling']} "
+            f"| {key} | {r['turns']} | ({r['quiet_pair']['t_n']}, {r['quiet_pair']['t_4n']}) "
+            f"| **{r['scaling_efficiency']}** | {r['minwall_efficiency']} "
+            f"| {r['throughput_at_4n']} | {r['hardware_ceiling']['ceiling_efficiency']} "
             f"| {'PASS' if r['pass'] else 'FAIL'} |"
         )
     tail = "\n".join(
@@ -253,9 +284,9 @@ pairing (CPU steal).
         "\n\n- input: deterministic synthetic transcripts (seed=42) including"
         "\n  the 700-turn skew conversation\n" + tail + "\n"
     )
+    sj.write_text(json.dumps({"runs": runs}, indent=2) + "\n")
     (REPO / "BENCH/BASELINE.md").write_text(md)
     print("wrote BENCH/BASELINE.md, BENCH/scaling.json")
-    return 0 if result["pass"] else 1
 
 
 if __name__ == "__main__":
