@@ -69,8 +69,15 @@ class Node(NamedTuple):
 def _visible_len(segment: str) -> int:
     """Whitespace-collapsed visible length. Fast path: most segments have
     no tabs/newlines/double spaces, so a strip + containment scan (all
-    C-speed) avoids the regexp substitution and its allocation."""
-    stripped = segment.strip(" \t\r\n")
+    C-speed) avoids the regexp substitution and its allocation.
+
+    The edge strip is the FULL-Unicode ``str.strip()`` — the collapse
+    regex only touches ASCII whitespace, but the reference semantics
+    (collapse-then-strip) drop ALL Unicode whitespace at the edges, so a
+    segment like ``'\\xa0'`` (NBSP-only) or ``'a\\x0c'`` must strip the
+    same way here. Interior non-ASCII whitespace is NOT collapsed in
+    either formulation, so strip-first is equivalent."""
+    stripped = segment.strip()
     if "  " in stripped or "\t" in stripped or "\r" in stripped or "\n" in stripped:
         return len(WS_RE.sub(" ", stripped))
     return len(stripped)

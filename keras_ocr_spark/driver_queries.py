@@ -791,9 +791,12 @@ def _band_sql_values(n_bands: int, rows: int) -> str:
     """,
 )
 def q_dedup_minhash_lsh(spark, sf_dir):
+    # Explicit opt-in hot-bucket cap (scale guard; the oracle is the
+    # uncapped candidate set — equal while no band bucket nears 10k,
+    # which exact-dedup-first guarantees on real pipelines too).
     docs = _docs(spark, sf_dir)
     sigs = D.minhash_signatures(docs, n_hashes=16)
-    out = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4)
+    out = D.lsh_candidate_pairs(sigs, n_bands=4, rows_per_band=4, max_bucket_size=10_000)
     return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
 
 
@@ -1234,7 +1237,7 @@ _SESSIONIZE_SEQ = 0
     "sessionize_stateful",
     """
     WITH g AS (
-      SELECT user_id, epoch_us(ts) AS ts_us,
+      SELECT user_id, event_id, epoch_us(ts) AS ts_us,
              CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
                        OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
                   OR lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -1242,7 +1245,7 @@ _SESSIONIZE_SEQ = 0
       FROM events),
     segs AS (
       SELECT user_id, ts_us,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg
       FROM g),
     sess AS (

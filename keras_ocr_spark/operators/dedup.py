@@ -189,7 +189,8 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     n_bands: int = 4,
     rows_per_band: int = 4,
-    max_bucket_size: int | None = 10_000,
+    max_bucket_size: int | None = None,
+    return_dropped: bool = False,
 ) -> DataFrame:
     """MinHash LSH: band the signature, bucket on (band_idx, band_key),
     expand pairs within each bucket.
@@ -199,12 +200,17 @@ def lsh_candidate_pairs(
     subtree for each side. Pair expansion is per-bucket array algebra;
     docs sharing >= 1 band become candidate pairs (a < b, distinct).
 
-    ``max_bucket_size`` is the hot-bucket guard ENFORCED IN CODE: a
-    pathological band bucket (near-identical boilerplate that survived
-    exact_dedup) would otherwise expand O(n^2) pairs inside one task.
-    Buckets above the cap are dropped — at 10k members a bucket means
-    ~50M pairs, which no downstream verifier wants anyway; run
-    exact_dedup first to collapse byte-identical texts. None disables.
+    ``max_bucket_size`` is the opt-in hot-bucket guard: a pathological
+    band bucket (near-identical boilerplate that survived exact_dedup)
+    would otherwise expand O(n^2) pairs inside one task. Buckets above
+    the cap are dropped — at 10k members a bucket means ~50M pairs,
+    which no downstream verifier wants anyway; run exact_dedup first to
+    collapse byte-identical texts. The default is None (complete
+    candidate set) so recall measurements are never silently lossy;
+    scale pipelines opt in and, with ``return_dropped=True``, get a
+    second DataFrame ``(band_idx, band_key, bucket_size)`` of the
+    buckets the cap removed — count it, log it, or write it next to the
+    pairs so the truncation is observable, never silent.
     """
     bands = signatures.select(
         "id",
@@ -227,7 +233,12 @@ def lsh_candidate_pairs(
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
         .filter(F.size("ids") > 1)
     )
+    dropped = None
     if max_bucket_size is not None:
+        if return_dropped:
+            dropped = buckets.filter(F.size("ids") > max_bucket_size).select(
+                "band_idx", "band_key", F.size("ids").alias("bucket_size")
+            )
         buckets = buckets.filter(F.size("ids") <= max_bucket_size)
     pairs = buckets.select(
         F.explode(
@@ -242,7 +253,10 @@ def lsh_candidate_pairs(
             )
         ).alias("pair")
     )
-    return pairs.select("pair.id_a", "pair.id_b").distinct()
+    result = pairs.select("pair.id_a", "pair.id_b").distinct()
+    if return_dropped:
+        return result, dropped
+    return result
 
 
 def minhash_dedup_pairs(
@@ -253,12 +267,15 @@ def minhash_dedup_pairs(
     k: int = 3,
     n_hashes: int = 16,
     n_bands: int = 4,
+    max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup flow: signatures -> candidates ->
     exact-Jaccard verification of CANDIDATES ONLY (the scale path — the
-    expensive shingle join touches candidate pairs, not all pairs)."""
+    expensive shingle join touches candidate pairs, not all pairs).
+    The pipeline flow opts into the hot-bucket cap explicitly (scale
+    guard); pass ``max_bucket_size=None`` for exhaustive recall work."""
     sigs = minhash_signatures(df, n_hashes, id_col, text_col, k)
-    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands)
+    cands = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands, max_bucket_size=max_bucket_size)
     sh = shingle_docs(df, id_col, text_col, k)
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
     a_sh = sh.withColumnRenamed("id", "id_a")

@@ -200,18 +200,25 @@ def run_with_checkpoints(
     # (read-back: the manifest attests the committed files, not the
     # plan). bit_xor(xxhash64(row)) + count is order-independent and
     # streams through partial aggregation — no collect_list buffer.
-    written = spark.read.parquet(out_dir).filter(F.col("bucket").isin(this_run))
-    row_sig = F.xxhash64(F.concat_ws("\x1e", "conv_id", "turn_idx", "clean_text"))
-    stats = {
-        int(r["bucket"]): r
-        for r in written.groupBy("bucket")
-        .agg(
-            F.count("*").alias("rows"),
-            F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("spans"),
-            F.coalesce(F.bit_xor(row_sig), F.lit(0)).alias("content_hash64"),
-        )
-        .collect()
-    }
+    # An empty input (or all-empty pending buckets) produces a
+    # partitioned write with NO data files — reading the directory back
+    # would fail schema inference, so skip the read-back and commit
+    # rows=0 manifests (an empty job must still checkpoint cleanly).
+    has_data = any(Path(out_dir).glob("bucket=*/*.parquet"))
+    stats = {}
+    if has_data:
+        written = spark.read.parquet(out_dir).filter(F.col("bucket").isin(this_run))
+        row_sig = F.xxhash64(F.concat_ws("\x1e", "conv_id", "turn_idx", "clean_text"))
+        stats = {
+            int(r["bucket"]): r
+            for r in written.groupBy("bucket")
+            .agg(
+                F.count("*").alias("rows"),
+                F.coalesce(F.sum(F.size("spans")), F.lit(0)).alias("spans"),
+                F.coalesce(F.bit_xor(row_sig), F.lit(0)).alias("content_hash64"),
+            )
+            .collect()
+        }
 
     total_rows = 0
     for bucket in this_run:

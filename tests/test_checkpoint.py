@@ -136,3 +136,22 @@ def test_manifest_content_hash_stable(spark, input_path, tmp_path):
     ha = {m["bucket"]: m["content_hash64"] for m in read_manifests(out_a)}
     hb = {m["bucket"]: m["content_hash64"] for m in read_manifests(out_b)}
     assert ha == hb  # salting must not change committed content (order-independent hash)
+
+
+def test_empty_input_commits_zero_row_manifests(spark, tmp_path):
+    """An empty input must checkpoint cleanly: the partitioned write
+    emits no data files, so the read-back is skipped and rows=0
+    manifests commit for every bucket in the run (ADVICE r2)."""
+    empty_path = str(tmp_path / "empty.parquet")
+    spark.createDataFrame(
+        [], schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.mode("overwrite").parquet(empty_path)
+    out = str(tmp_path / "out_empty")
+    summary = run_with_checkpoints(spark, empty_path, out, n_buckets=4)
+    assert summary["rows"] == 0 and summary["buckets_run"] == [0, 1, 2, 3]
+    manifests = list(read_manifests(out))
+    assert len(manifests) == 4
+    assert all(m["rows"] == 0 and m["status"] == "complete" for m in manifests)
+    # Resume over the zero-row manifests: everything is skipped.
+    summary2 = run_with_checkpoints(spark, empty_path, out, n_buckets=4)
+    assert summary2["buckets_run"] == [] and len(summary2["buckets_skipped"]) == 4

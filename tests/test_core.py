@@ -53,6 +53,19 @@ class TestTokenizer:
         assert nodes[1].boiler is True  # script content flagged
         assert nodes[2].link_len == 0 and nodes[2].boiler is False
 
+    def test_unicode_whitespace_edges(self):
+        # Full-Unicode strip at segment edges: collapse-then-strip
+        # reference semantics drop NBSP/form-feed/vertical-tab-only
+        # segments and exclude them from edge lengths (ADVICE r2).
+        assert tokenize("<div>\xa0</div>") == []
+        assert tokenize("<div>\x0c\x0b　</div>") == []
+        nodes = tokenize("<p>\xa0abc\x0c</p>")
+        assert len(nodes) == 1 and nodes[0].tlen == 3
+        # Interior non-ASCII whitespace is NOT collapsed (both
+        # formulations agree): 'a<NBSP>b' keeps its 3 visible chars.
+        nodes = tokenize("<p>a\xa0b</p>")
+        assert nodes[0].tlen == 3
+
     def test_void_and_selfclosing_tags_do_not_nest(self):
         nodes = tokenize("<p>a<br>b<img src='x'/>c</p>")
         assert all(n.tag_path == "p" for n in nodes)

@@ -69,6 +69,23 @@ class TestMinHashLSH:
         assert out.get((0, 1)) == 1.0
         assert all(j >= 0.9 for j in out.values())
 
+    def test_bucket_cap_is_optin_and_observable(self, spark):
+        # 30 copies of one text: every band bucket holds all 30 ids.
+        docs = spark.createDataFrame(
+            [(i, "the same boilerplate text repeated for everyone") for i in range(30)],
+            "doc_id long, text string",
+        )
+        sigs = D.minhash_signatures(docs, n_hashes=16)
+        # Default: NO cap -> complete candidate set (30 choose 2).
+        full = D.lsh_candidate_pairs(sigs).count()
+        assert full == 30 * 29 // 2
+        # Opt-in cap drops the hot bucket AND reports it.
+        pairs, dropped = D.lsh_candidate_pairs(sigs, max_bucket_size=10, return_dropped=True)
+        assert pairs.count() == 0
+        drops = dropped.collect()
+        assert len(drops) == 4  # one per band
+        assert all(r.bucket_size == 30 for r in drops)
+
 
 class TestSimHash:
     def test_fingerprints_deterministic_and_close_for_near_dups(self, docs):
