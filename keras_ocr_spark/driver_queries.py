@@ -800,6 +800,75 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     return out.select(F.col("id_a").cast("long").alias("id_a"), F.col("id_b").cast("long").alias("id_b"))
 
 
+@register(
+    "dedup_resolve",
+    f"""
+    WITH RECURSIVE
+    sh0 AS ({_SHINGLES_SQL}),
+    digs AS (
+      SELECT id, list_transform(shingles, s -> md5(s) || md5(s || '#')) AS digests
+      FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature FROM digs),
+    bands AS (
+      SELECT id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= CAST(0.5 AS DOUBLE)),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+    resolved AS (
+      SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    csize AS (SELECT keeper_id, count(*) AS cluster_size FROM resolved GROUP BY keeper_id)
+    SELECT CAST(r.id AS BIGINT) AS id, CAST(r.keeper_id AS BIGINT) AS keeper_id,
+           CAST(s.cluster_size AS BIGINT) AS cluster_size,
+           (r.id = r.keeper_id) AS is_keeper
+    FROM resolved r JOIN csize s USING (keeper_id)
+    """,
+)
+def q_dedup_resolve(spark, sf_dir):
+    """The dedup LAST MILE: near-dup PAIRS -> duplicate CLUSTERS -> one
+    keeper per cluster (pair machinery alone cannot drop rows — if a~b
+    and b~c then {a,b,c} must collapse to ONE keeper even though (a,c)
+    was never a candidate). Spark side: minhash_dedup_pairs (LSH
+    candidates, exact-Jaccard verified) -> alternating large-star/
+    small-star connected components (operators/clusters.py, O(log n)
+    equi-join rounds) -> keeper + cluster size per document, singletons
+    included. Oracle: the same pair set, closed transitively with a
+    recursive CTE. Reference analog: detection.py:432-438 de-dup set
+    semantics lifted to the corpus."""
+    from .operators.clusters import resolve_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    out = resolve_duplicates(docs, pairs, id_col="doc_id")
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("keeper_id").cast("long").alias("keeper_id"),
+        F.col("cluster_size").cast("long").alias("cluster_size"),
+        F.col("is_keeper"),
+    )
+
+
 def _simhash64_sql() -> str:
     """64-bit SimHash terms over a precomputed ``nibs`` column
     (list of per-word 16-nibble lists) — the DuckDB twin of
