@@ -252,11 +252,17 @@ def q_percentiles_by_brand(spark, sf_dir):
 )
 def q_ntile_quartiles(spark, sf_dir):
     """ntile bucketing (quartiles over a deterministic total order) +
-    per-bucket rollup — the percentile-bucket assignment primitive."""
+    per-bucket rollup. NOT the partition-less ``ntile OVER (ORDER BY)``
+    window (single-task sort — a 100x scale-killer, r2 verdict): the
+    three-phase distributed rank in operators/ranking.py — range-bucket
+    by sampled quantiles, per-bucket window, broadcast prefix offsets —
+    reproduces ntile semantics exactly (parity vs F.ntile asserted in
+    tests) with only a hash exchange on the bucket key."""
+    from .operators.ranking import exact_ntile
+
     c = _t(spark, sf_dir, "customer")
-    w = W.orderBy("c_acctbal", "c_custkey")
     return (
-        c.select("c_acctbal", F.ntile(4).over(w).alias("q"))
+        exact_ntile(c, 4, ["c_acctbal", "c_custkey"], ntile_col="q")
         .groupBy("q")
         .agg(F.count("*").cast("long").alias("n"), pround(F.sum("c_acctbal"), 2).alias("total_bal"))
         .select(_b("q"), "n", "total_bal")

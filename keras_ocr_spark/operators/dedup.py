@@ -341,7 +341,13 @@ def simhash_blocks(fp: DataFrame, n_blocks: int = 4) -> DataFrame:
     ).select("id", "simhash", "b.blk", "b.key")
 
 
-def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_block_bucket_size: int | None = None,
+) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance over 64-bit prints.
 
     Scale path: block the fingerprint into 4 disjoint 16-bit keys and
@@ -352,11 +358,28 @@ def simhash_near_pairs(df: DataFrame, max_hamming: int = 3, id_col: str = "doc_i
     runs on candidates only. ONE shuffle join keyed on 16-bit blocks —
     2^16 keys per block index; at petabyte scale widen to 8x8-bit blocks
     or pre-partition on the block key.
+
+    ``max_block_bucket_size`` is the opt-in hot-bucket guard (same
+    contract as :func:`lsh_candidate_pairs`): a (blk, key) bucket of n
+    rows expands n^2 candidate rows inside the join, so at >=10^9 docs
+    (>~15k rows per 16-bit key) cap it. Rows in over-cap buckets are
+    anti-joined out of THAT block index only — a pair survives if any
+    of its other shared blocks stays under the cap, so only pairs whose
+    every common block is hot are lost (and a corpus like that should
+    run exact_dedup first). Default None = exhaustive (oracle-exact).
     """
     n_blocks = 4
     if max_hamming > n_blocks - 1:
         raise ValueError(f"max_hamming={max_hamming} needs >= {max_hamming + 1} blocks (pigeonhole); have {n_blocks}")
     blocks = simhash_blocks(simhash_fingerprints(df, id_col, text_col), n_blocks)
+    if max_block_bucket_size is not None:
+        hot = (
+            blocks.groupBy("blk", "key")
+            .count()
+            .filter(F.col("count") > max_block_bucket_size)
+            .select("blk", "key")
+        )
+        blocks = blocks.join(F.broadcast(hot), ["blk", "key"], "left_anti")
     a = blocks.alias("a")
     b = blocks.alias("b")
     pairs = (
