@@ -1647,18 +1647,36 @@ def q_inclusion_filter(spark, sf_dir):
 @register(
     "pdf_extract",
     """
+    WITH w AS (SELECT doc_id, text, string_split(text, ' ') AS words FROM documents),
+    c AS (
+      SELECT doc_id, text,
+             list_transform(
+               range(0, greatest(CAST(ceil(len(words) / 4.0) AS BIGINT), 1)),
+               i -> CASE WHEN i % 2 = 0
+                    THEN 'BT (' || replace(replace(replace(
+                           array_to_string(list_slice(words, i*4+1, i*4+4), ' '),
+                           '\\', '\\\\'), '(', '\\('), ')', '\\)') || ') Tj ET'
+                    ELSE 'BT [(' || replace(replace(replace(
+                           array_to_string(list_slice(words, i*4+1, i*4+4), ' '),
+                           '\\', '\\\\'), '(', '\\('), ')', '\\)') || ') -120] TJ ET'
+                    END) AS blocks
+      FROM w)
     SELECT CAST(doc_id AS BIGINT) AS id, text AS pdf_text,
-           CAST(octet_length(encode('%PDF-1.4 BT (' || text || ') Tj ET')) AS BIGINT) AS n_bytes
-    FROM documents
+           CAST(octet_length(encode(
+             '%PDF-1.4 ' || array_to_string(blocks, ' ') || ' EOF')) AS BIGINT) AS n_bytes
+    FROM c
     """,
 )
 def q_pdf_extract(spark, sf_dir):
-    """PDF/byte-stream tokenization path: synthesize PDF-like binary
-    payloads (content-stream text-show subset), then parse the bytes
-    back to text inside mapInPandas (operators.multimodal.
-    pdf_extract_text) — binary column in, Arrow batches through, text
-    out. The oracle knows the synthesis, so extraction must round-trip
-    the original text exactly."""
+    """PDF/byte-stream tokenization path: synthesize MULTI-BLOCK
+    PDF-like binary payloads (one BT..ET object per 4-word chunk,
+    alternating ``(s) Tj`` and ``[(s) -120] TJ`` show forms,
+    PDF-escaped strings), then parse the bytes back to text inside
+    mapInPandas (operators.multimodal.pdf_extract_text) — binary column
+    in, Arrow batches through, text out. The oracle recomputes the
+    synthesis byte-for-byte (same chunking, escaping and layout), so
+    extraction must round-trip the original text exactly AND the byte
+    count must match the real payload."""
     from .operators.multimodal import pdf_extract_text, synth_pdf_payloads
 
     docs = _docs(spark, sf_dir)

@@ -347,14 +347,56 @@ class TestPdfExtract:
         from keras_ocr_spark.operators import multimodal as M
 
         df = spark.createDataFrame(
-            [(0, "plain text"), (1, "with (nested) parens"), (2, "multi\nline")],
+            [(0, "plain text"), (1, "with (nested) parens"), (2, "multi\nline"), (3, "back\\slash (x)")],
             "doc_id int, text string",
         )
         out = {r.id: (r.pdf_text, r.n_bytes) for r in M.pdf_extract_text(M.synth_pdf_payloads(df)).collect()}
         assert out[0][0] == "plain text"
-        assert out[1][0] == "with (nested) parens"  # greedy match survives inner parens
+        assert out[1][0] == "with (nested) parens"  # PDF escaping round-trips parens
         assert out[2][0] == "multi\nline"
-        assert out[0][1] == len("%PDF-1.4 BT (plain text) Tj ET")
+        assert out[3][0] == "back\\slash (x)"
+        assert out[0][1] == len("%PDF-1.4 BT (plain text) Tj ET EOF")
+
+    def test_multiblock_synthesis_uses_both_show_forms(self, spark):
+        from keras_ocr_spark.operators import multimodal as M
+
+        # 10 words -> 3 chunks -> 3 BT..ET blocks alternating Tj / TJ.
+        text = " ".join(f"w{i}" for i in range(10))
+        df = spark.createDataFrame([(0, text)], "doc_id int, text string")
+        payload = bytes(M.synth_pdf_payloads(df).collect()[0].payload)
+        assert payload.count(b"BT ") == 3 and payload.count(b" ET") == 3
+        assert payload.count(b"Tj") == 2 and payload.count(b"TJ") == 1
+        assert M.parse_pdf_text(payload) == text
+
+    def test_parser_handles_real_grammar_shapes(self):
+        from keras_ocr_spark.operators.multimodal import parse_pdf_text
+
+        # multiple show ops in ONE block concatenate directly
+        assert parse_pdf_text(b"BT (ab) Tj (cd) Tj ET") == "abcd"
+        # TJ array: numbers are kerning, strings concatenate
+        assert parse_pdf_text(b"BT [(he) -120 (llo)] TJ ET") == "hello"
+        # blocks join with a single space; ET inside a string is safe
+        assert parse_pdf_text(b"BT (the ETF fund) Tj ET BT (GET) Tj ET") == "the ETF fund GET"
+        # escapes
+        assert parse_pdf_text(rb"BT (a\(b\)c\\d) Tj ET") == "a(b)c\\d"
+
+    def test_roundtrip_fuzz(self, spark):
+        import random
+
+        from keras_ocr_spark.operators import multimodal as M
+
+        random.seed(3)
+        alphabet = "ab ()\\ETBTTj[]"
+        texts = [
+            (i, "".join(random.choice(alphabet) for _ in range(random.randint(1, 60))))
+            for i in range(40)
+        ]
+        # split-on-space round-trip needs no leading/trailing ambiguity:
+        # any text is legal; the chunker preserves empty words exactly.
+        df = spark.createDataFrame(texts, "doc_id int, text string")
+        out = {r.id: r.pdf_text for r in M.pdf_extract_text(M.synth_pdf_payloads(df)).collect()}
+        for i, t in texts:
+            assert out[i] == t, (i, repr(t), repr(out[i]))
 
     def test_garbage_payload_yields_null(self, spark):
         from keras_ocr_spark.operators import multimodal as M
