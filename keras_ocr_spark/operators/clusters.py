@@ -107,6 +107,13 @@ def connected_components(
     non-deterministic id column).
     """
     edges = _canonical(pairs.select(F.col(id_a).alias("u"), F.col(id_b).alias("v")))
+    if use_local_checkpoint:
+        # Materialize the INPUT edges before iterating: each star round
+        # references the edge set several times (union + both join
+        # sides), so an expensive upstream pair pipeline (LSH candidates
+        # + Jaccard verification) would otherwise recompute 4x inside
+        # the first round's plan.
+        edges = edges.localCheckpoint(eager=True)
     prev = None
     for _ in range(max_iterations):
         edges = _canonical(small_star(large_star(edges)))

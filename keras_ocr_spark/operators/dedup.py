@@ -119,6 +119,11 @@ def minhash_signatures(
     """
     import numpy as np
 
+    # n_hashes <= 8 fits in ONE md5 digest (8 u16 windows) — half the
+    # hashing cost; the 16-hash scheme appends md5(s + '#') for windows
+    # 9..16 (the fixed cross-engine layout the oracle mirrors).
+    two_digests = n_hashes > 8
+
     def _one(text):
         if text is None:
             return None
@@ -127,10 +132,15 @@ def minhash_signatures(
             return None
         shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
         md5 = hashlib.md5
-        buf = b"".join(md5(s.encode()).digest() + md5((s + "#").encode()).digest() for s in shingles)
-        # 32 bytes (two md5 digests) per shingle = 16 big-endian uint16
-        # windows; components are the first n_hashes of them.
-        arr = np.frombuffer(buf, dtype=">u2").reshape(-1, 16)[:, :n_hashes]
+        if two_digests:
+            buf = b"".join(md5(s.encode()).digest() + md5((s + "#").encode()).digest() for s in shingles)
+            width = 16
+        else:
+            buf = b"".join(md5(s.encode()).digest() for s in shingles)
+            width = 8
+        # 16 bytes per md5 digest = 8 big-endian uint16 windows;
+        # components are the first n_hashes of them.
+        arr = np.frombuffer(buf, dtype=">u2").reshape(-1, width)[:, :n_hashes]
         return [format(v, "04x") for v in arr.min(axis=0)]
 
     @F.pandas_udf(T.ArrayType(T.StringType()))
@@ -170,11 +180,11 @@ def minhash_signatures_sql(
         F.col(id_col).alias("id"),
         shingles_expr(words_expr(F.col(text_col)), k).alias("_shingles"),
     ).filter(F.size("_shingles") > 0)
+    one = lambda s: F.md5(s)  # noqa: E731 — n_hashes <= 8: one digest
+    two = lambda s: F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#"))))  # noqa: E731
     digests = staged.select(
         "id",
-        F.transform(
-            "_shingles", lambda s: F.concat(F.md5(s), F.md5(F.concat(s, F.lit("#"))))
-        ).alias("_digests"),
+        F.transform("_shingles", two if n_hashes > 8 else one).alias("_digests"),
     )
     sig = F.array(
         *[

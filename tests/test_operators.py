@@ -54,6 +54,13 @@ class TestMinHashLSH:
         # pandas and pure-SQL engines agree value for value
         sql_sigs = {r.id: list(r.signature) for r in D.minhash_signatures_sql(docs, n_hashes=16).collect()}
         assert {r.id: list(r.signature) for r in sigs} == sql_sigs
+        # the single-digest scheme (n_hashes <= 8, one md5/shingle) has
+        # an agreeing twin too, and is a strict prefix of the 16-hash
+        # signature (same windows over md5(s))
+        a8 = {r.id: list(r.signature) for r in D.minhash_signatures(docs, n_hashes=8).collect()}
+        b8 = {r.id: list(r.signature) for r in D.minhash_signatures_sql(docs, n_hashes=8).collect()}
+        assert a8 == b8
+        assert all(a8[r.id] == list(r.signature)[:8] for r in sigs)
         assert all(len(r.signature) == 16 for r in sigs)
         assert {r.id for r in sigs} == {0, 1, 2, 3}  # doc 4 has no shingles
         by_id = {r.id: r.signature for r in sigs}
