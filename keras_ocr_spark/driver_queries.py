@@ -1382,6 +1382,61 @@ def q_sessionize_stateful(spark, sf_dir):
     )
 
 
+@register(
+    "stream_windowed_counts",
+    """
+    SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_stream_windowed_counts(spark, sf_dir):
+    """WATERMARKED WINDOWED STREAMING AGG run to completion: the events
+    table streams through a tumbling 60-min window groupBy under a
+    60-min watermark (streaming/windowed.py — bounded state, late-data
+    drop discipline) in complete output mode, so the emitted windows
+    equal the batch agg the oracle computes — a full value-hash check
+    on the second streaming shape next to sessionize_stateful. The
+    append-mode late-drop semantics have their own two-micro-batch test
+    (tests/test_streaming.py)."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from .streaming.windowed import windowed_event_counts
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    landing = f"/tmp/windowed_landing_{tag}"
+    if not _P(landing).is_dir():
+        _P(landing).mkdir(parents=True)
+        _sh.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp, value double")
+        .parquet(landing)
+    )
+    global _SESSIONIZE_SEQ
+    _SESSIONIZE_SEQ += 1
+    name = f"windowed_counts_{tag}_{_SESSIONIZE_SEQ}"
+    q = (
+        windowed_event_counts(stream, window_minutes=60, watermark_minutes=60)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    q.stop()
+    return spark.table(name).select(
+        F.col("window_start_us").cast("long").alias("window_start_us"),
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        pround(F.col("total_value"), 2).alias("total_value"),
+    )
+
+
 # ==========================================================================
 # 5b. Multi-level aggregation (rollup / cube / grouping sets / pivot) —
 # beyond the reference: the summary-table primitives a curation

@@ -144,8 +144,8 @@ class TestNoAccidentalCartesian:
 
     #: Queries where a BNLJ against a broadcast 1-row side is the design.
     ALLOW_BNLJ = {"ann_cosine_topk", "ann_topk_quantized", "ann_topk_multiprobe", "ann_topk_ivf"}
-    #: Executes a streaming job on invocation — plan inspected in its own test.
-    SKIP = {"sessionize_stateful"}
+    #: Execute a streaming job on invocation — plans inspected in their own tests.
+    SKIP = {"sessionize_stateful", "stream_windowed_counts"}
 
     def test_no_cartesian_any_query(self, spark):
         from keras_ocr_spark.driver_queries import QUERIES

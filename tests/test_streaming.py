@@ -3,6 +3,10 @@ foreachBatch reassembly sink, driven synchronously with availableNow
 (the guide's local pattern). Output must equal the batch pipeline on the
 same input — streaming and batch share the same operator code."""
 
+import shutil
+from pathlib import Path
+
+import pandas as pd
 import pytest
 
 from keras_ocr_spark.plans.pipeline import extract
@@ -126,3 +130,114 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     }
     assert got == expect
     assert len(got) > 50  # non-trivial session count
+
+
+def test_windowed_agg_complete_equals_batch(spark, tmp_path):
+    """Complete-mode watermarked windowed agg over a finite stream must
+    equal the batch groupBy(window) of the same rows (the driver-oracle
+    parity for stream_windowed_counts)."""
+    from keras_ocr_spark.streaming.windowed import windowed_event_counts
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    landing = str(tmp_path / "wland")
+    Path(landing).mkdir()
+    shutil.copy(src, f"{landing}/events.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp, value double")
+        .parquet(landing)
+    )
+    q = (
+        windowed_event_counts(stream, 60, 60)
+        .writeStream.format("memory")
+        .queryName("win_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    got = {
+        (r.window_start_us, r.event_type, r.n_events, round(r.total_value, 2))
+        for r in spark.sql("SELECT * FROM win_complete").collect()
+    }
+    want = {
+        (r.window_start_us, r.event_type, r.n_events, round(r.total_value, 2))
+        for r in windowed_event_counts(spark.read.parquet(src), 60, 60).collect()
+    }
+    assert got == want and len(got) > 10
+
+
+def test_windowed_agg_append_drops_late_events(spark, tmp_path):
+    """Append-mode watermark semantics, proven with three micro-batches
+    (maxFilesPerTrigger=1). Spark's documented guarantee is
+    one-directional: a late row arriving while its window's state is
+    STILL LIVE may still aggregate (batch 2's 00:50 straggler — the
+    hour-0 window emits once, at the end of that batch, including it);
+    a row arriving AFTER the window was emitted and its state evicted
+    is dropped — no duplicate hour-0 row ever appears (batch 3's 00:55
+    straggler). The hard invariants: each window emits exactly once,
+    and eviction is final."""
+    import os
+    import time as _time
+
+    from keras_ocr_spark.streaming.windowed import windowed_event_counts
+
+    landing = str(tmp_path / "late")
+    Path(landing).mkdir()
+    base = "2024-01-01 0{h}:{m:02d}:00"
+
+    def write(fname, rows, mtime):
+        # flat single files in the landing dir (a nested dir per write
+        # would confuse file-source listing); mtime ordering fixes the
+        # micro-batch order.
+        pdf = spark.createDataFrame(
+            [(1, i, "click", base.format(h=h, m=m), 1.0) for i, (h, m) in enumerate(rows)],
+            "user_id long, event_id long, event_type string, ts_s string, value double",
+        ).selectExpr("user_id", "event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+        staging = str(tmp_path / f"stage_{fname}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(Path(staging).glob("part-*.parquet"))
+        dest = f"{landing}/{fname}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 1: events in hours 0 and 3 -> watermark becomes 02:00
+    # (60-min delay) for batch 2: the hour-0 window will close there.
+    write("f1", [(0, 10), (0, 40), (3, 0)], mtime=1_000_000)
+    _time.sleep(0.05)
+    # batch 2: a straggler at 00:50 — BELOW the watermark but the
+    # hour-0 state is still live, so it aggregates (Spark's documented
+    # may-not-drop caveat); hour-0 emits at this batch's end with 3.
+    write("f2", [(0, 50), (3, 30)], mtime=2_000_000)
+    _time.sleep(0.05)
+    # batch 3: a straggler at 00:55 AFTER hour-0 was emitted+evicted —
+    # must be dropped (append mode can never re-emit a closed window).
+    write("f3", [(0, 55), (4, 0)], mtime=3_000_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        windowed_event_counts(stream, 60, 60)
+        .writeStream.format("memory")
+        .queryName("win_append")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    emitted = spark.sql("SELECT * FROM win_append").collect()
+    rows = {r.window_start_us: r.n_events for r in emitted}
+    h0 = int(pd.Timestamp("2024-01-01 00:00:00").value // 1000)
+    # hour-0 emitted EXACTLY ONCE (no zombie re-emission from batch 3's
+    # straggler) with the pre-eviction events only: 00:10, 00:40, 00:50.
+    assert len(emitted) == len(rows)  # one row per window
+    assert rows.get(h0) == 3
+    # the post-eviction 00:55 straggler was dropped: count stays 3 and
+    # no second hour-0 row exists (checked above); the still-open
+    # hour-4 window is unemitted.
+    h4 = int(pd.Timestamp("2024-01-01 04:00:00").value // 1000)
+    assert h4 not in rows
