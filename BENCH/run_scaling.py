@@ -269,11 +269,22 @@ box itself gives that pairing (CPU steal).
             r["minwall_efficiency"] = r["scaling_efficiency"]
             r["scaling_efficiency"] = q["pair_efficiency"]
             r["pass"] = r["scaling_efficiency"] >= 0.8
+        ceiling = r["hardware_ceiling"]["ceiling_efficiency"]
+        if r["pass"]:
+            verdict = "PASS"
+        elif ceiling < 0.8:
+            # The pure-multiprocessing control (no Spark) itself scored
+            # below the target: the shared box does not deliver 4x the
+            # CPU between these levels, so NO job can pass here — the
+            # pairing measures the box, not the engine.
+            verdict = f"box-limited (control={ceiling})"
+        else:
+            verdict = "FAIL"
         rows.append(
             f"| {key} | {r['turns']} | ({r['quiet_pair']['t_n']}, {r['quiet_pair']['t_4n']}) "
             f"| **{r['scaling_efficiency']}** | {r['minwall_efficiency']} "
-            f"| {r['throughput_at_4n']} | {r['hardware_ceiling']['ceiling_efficiency']} "
-            f"| {'PASS' if r['pass'] else 'FAIL'} |"
+            f"| {r['throughput_at_4n']} | {ceiling} "
+            f"| {verdict} |"
         )
     tail = "\n".join(
         f"- {k}: pairs (t_N, t_4N) = {json.dumps([(p['t_n'], p['t_4n']) for p in runs[k]['pairs']])}"

@@ -1383,6 +1383,97 @@ def q_sessionize_stateful(spark, sf_dir):
 
 
 @register(
+    "asof_join_events",
+    """
+    WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'),
+    r AS (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT CAST(l.event_id AS BIGINT) AS event_id,
+           CAST(l.user_id AS BIGINT) AS user_id,
+           CAST(epoch_us(l.ts) AS BIGINT) AS ts_us,
+           CAST(epoch_us(r.ts) AS BIGINT) AS purchase_ts_us,
+           CAST(floor(r.value * 100 + 0.5) / 100 AS DOUBLE) AS purchase_value
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts
+    """,
+)
+def q_asof_join_events(spark, sf_dir):
+    """AS-OF JOIN (point-in-time-correct temporal lookup): every click
+    enriched with the user's most recent purchase at or before it,
+    NULL when none. Spark lacks the operator; operators/asof.py builds
+    it as union + ordered window — ONE shuffle over |L|+|R| rows, no
+    range explosion (the naive range-join + argmax is quadratic per
+    key). The oracle is DuckDB's NATIVE ASOF LEFT JOIN, so semantics
+    (inclusive match, misses) are checked against a reference
+    implementation, not our own SQL restatement."""
+    from .operators.asof import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("user_id", "ts", "value")
+    out = asof_join(clicks, purchases, ["user_id"], right_vals=("ts", "value"))
+    return out.select(
+        _b("event_id"),
+        _b("user_id"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.unix_micros(F.col("ts_asof").cast("timestamp")).alias("purchase_ts_us"),
+        pround(F.col("value_asof"), 2).alias("purchase_value"),
+    )
+
+
+@register(
+    "sample_documents",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(length(text) AS BIGINT) AS text_len
+    FROM documents
+    WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0', '1')
+    """,
+)
+def q_sample_documents(spark, sf_dir):
+    """Deterministic SYSTEMATIC SAMPLE — the corpus-sampling primitive
+    (eval slices, human-review draws, ablation subsets) done the way a
+    100 TB pipeline must: a pure hash predicate (first md5 nibble < 2
+    -> exact 1/8 expected rate), so the sample is stable across runs,
+    engines and partitionings — unlike df.sample(), whose RNG stream is
+    engine- and split-dependent. The predicate is a plain projection
+    filter: fully pushed into the scan, no state, no shuffle."""
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1).isin("0", "1"))
+        .select(_b("doc_id"), F.length("text").cast("long").alias("text_len"))
+    )
+
+
+@register(
+    "profile_documents",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_ids,
+           CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_texts,
+           CAST(min(length(text)) AS BIGINT) AS min_len,
+           CAST(max(length(text)) AS BIGINT) AS max_len,
+           CAST(floor(avg(length(text)) * 100 + 0.5) / 100 AS DOUBLE) AS avg_len,
+           CAST(count(DISTINCT md5(text)) AS BIGINT) AS distinct_texts
+    FROM documents
+    """,
+)
+def q_profile_documents(spark, sf_dir):
+    """DATA PROFILING in one pass — the ingest-gate summary a curation
+    pipeline computes before anything else (row/id/dup counts, null
+    rate, length distribution). One grand-total aggregate; the two
+    count-distincts expand internally but stay a single job."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("doc_id").cast("long").alias("n_ids"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).cast("long").alias("null_texts"),
+        F.min(F.length("text")).cast("long").alias("min_len"),
+        F.max(F.length("text")).cast("long").alias("max_len"),
+        pround(F.avg(F.length("text")), 2).alias("avg_len"),
+        F.countDistinct(F.md5("text")).cast("long").alias("distinct_texts"),
+    )
+
+
+@register(
     "stream_windowed_counts",
     """
     SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_start_us,

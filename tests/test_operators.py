@@ -503,3 +503,43 @@ class TestApproxAggregates:
             F.approx_count_distinct("user_id", rsd=0.05).alias("approx"),
         ).collect()[0]
         assert abs(row.approx - row.exact) <= max(3, 0.15 * row.exact)
+
+
+class TestAsofJoin:
+    def test_inclusive_match_misses_and_one_shuffle(self, spark):
+        from keras_ocr_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 205), (3, 2, 50), (4, 3, 10)],
+            "event_id long, user_id long, ts long",
+        )
+        right = spark.createDataFrame(
+            [(1, 100, 10.0), (1, 200, 20.0), (2, 60, 5.0)],
+            "user_id long, ts long, value double",
+        )
+        out = {
+            r.event_id: r.value_asof
+            for r in asof_join(left, right, ["user_id"], right_vals=("value",)).collect()
+        }
+        assert out[1] == 10.0  # inclusive: right ts == left ts matches
+        assert out[2] == 20.0  # latest preceding, not first
+        assert out[3] is None  # right row is AFTER the left row -> miss
+        assert out[4] is None  # no right rows for the key at all
+        # scale shape: exactly ONE hash exchange (the per-key window);
+        # no range join, no cartesian
+        plan = (
+            asof_join(left, right, ["user_id"], right_vals=("value",))
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan.count("Exchange hashpartitioning") == 1
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    def test_multiple_payload_columns(self, spark):
+        from keras_ocr_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame([(1, 1, 100)], "event_id long, user_id long, ts long")
+        right = spark.createDataFrame(
+            [(1, 90, 7.0, "a")], "user_id long, ts long, value double, tag string"
+        )
+        r = asof_join(left, right, ["user_id"], right_vals=("value", "tag")).collect()[0]
+        assert (r.value_asof, r.tag_asof) == (7.0, "a")
