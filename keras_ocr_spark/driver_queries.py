@@ -1382,6 +1382,33 @@ def q_sessionize_stateful(spark, sf_dir):
     )
 
 
+def _bm25_oracle() -> str:
+    from .operators.retrieval import bm25_sql
+
+    inner = bm25_sql(("join", "hash", "vector"))
+    return f"""
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(floor(bm25 * 1000000 + 0.5) / 1000000 AS DOUBLE) AS bm25
+    FROM ({inner})
+    """
+
+
+@register("bm25_search", _bm25_oracle())
+def q_bm25_search(spark, sf_dir):
+    """BM25 retrieval scoring against a fixed probe query — the
+    curation-side search primitive (operators/retrieval.py): one corpus
+    pass computes per-term tf as array expressions (no explode — no row
+    multiplication by doc length), one 1-row grand-total agg gives
+    N/avgdl/df, broadcast back, score is a projection. The oracle
+    recomputes the identical left-to-right float summation, so the
+    scores hash-match after defensive 1e-6 rounding."""
+    from .operators.retrieval import bm25_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    out = bm25_scores(docs, ("join", "hash", "vector"))
+    return out.select(F.col("id").cast("long").alias("id"), pround(F.col("bm25"), 6).alias("bm25"))
+
+
 @register(
     "asof_join_events",
     """

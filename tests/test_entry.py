@@ -27,7 +27,7 @@ def test_entry_returns_rows(spark):
 def test_queries_and_oracles_align(spark):
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-    assert len(qs) >= 61
+    assert len(qs) >= 62
     assert set(oracles) <= set(qs)
     # every registered query is SQL-checkable in round 1
     assert set(oracles) == set(qs)

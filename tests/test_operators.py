@@ -543,3 +543,45 @@ class TestAsofJoin:
         )
         r = asof_join(left, right, ["user_id"], right_vals=("value", "tag")).collect()[0]
         assert (r.value_asof, r.tag_asof) == (7.0, "a")
+
+
+class TestBm25:
+    def test_goldens_and_ordering(self, spark):
+        from keras_ocr_spark.operators.retrieval import bm25_scores
+
+        docs = spark.createDataFrame(
+            [
+                (0, "spark joins hash tables fast"),
+                (1, "hash hash hash everywhere hash"),
+                (2, "nothing relevant here at all"),
+                (3, "hash"),
+            ],
+            "doc_id long, text string",
+        )
+        rows = {r.id: r.bm25 for r in bm25_scores(docs, ("hash",)).collect()}
+        assert 2 not in rows  # zero-score docs filtered
+        # heavy repetition wins but saturates under k1; the short
+        # single-term doc beats a single mention in a longer doc
+        # (length normalization)
+        assert rows[1] > rows[3] > rows[0] > 0
+        # saturation: 4x the tf bought less than 2x the score
+        assert rows[1] < 2 * rows[3]
+
+    def test_matches_reference_formula(self, spark):
+        import math
+
+        from keras_ocr_spark.operators.retrieval import bm25_scores
+
+        docs = spark.createDataFrame(
+            [(0, "a b c a"), (1, "a d"), (2, "x y z")], "doc_id long, text string"
+        )
+        got = {r.id: r.bm25 for r in bm25_scores(docs, ("a",), k1=1.2, b=0.75).collect()}
+        n, df_a, avgdl = 3.0, 2.0, (4 + 2 + 3) / 3.0
+        idf = math.log(1 + (n - df_a + 0.5) / (df_a + 0.5))
+
+        def score(tf, dl):
+            return idf * (tf * 2.2) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+
+        assert abs(got[0] - score(2, 4)) < 1e-12
+        assert abs(got[1] - score(1, 2)) < 1e-12
+        assert 2 not in got
