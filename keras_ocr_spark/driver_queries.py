@@ -1382,6 +1382,92 @@ def q_sessionize_stateful(spark, sf_dir):
     )
 
 
+@register(
+    "curate_corpus",
+    f"""
+    WITH RECURSIVE
+    sh0 AS ({_SHINGLES_SQL}),
+    digs AS (
+      SELECT id, list_transform(shingles, s -> md5(s) || md5(s || '#')) AS digests
+      FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature FROM digs),
+    bands AS (
+      SELECT id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= CAST(0.5 AS DOUBLE)),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+    keepers AS (
+      SELECT d.doc_id AS id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+      WHERE coalesce(c.keeper, d.doc_id) = d.doc_id),
+    feats AS (
+      SELECT doc_id AS id, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             {_lang_score_sql(TS.LANG_MARKERS["en"])} AS stop_hits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens
+      FROM documents),
+    scored AS (
+      SELECT id, n_bpe_tokens,
+             least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + least((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE) AS quality
+      FROM feats)
+    SELECT CAST(s.id AS BIGINT) AS id,
+           CAST(s.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(floor(s.quality * 1000000 + 0.5) / 1000000 AS DOUBLE) AS quality
+    FROM scored s JOIN keepers k ON k.id = s.id
+    WHERE floor(s.quality * 1000000 + 0.5) / 1000000 >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_curate_corpus(spark, sf_dir):
+    """The END-TO-END CURATION PIPELINE in one plan — what this engine
+    exists to run at 100 TB: near-dup clusters resolved to one keeper
+    per cluster (minhash LSH candidates -> exact-Jaccard verify ->
+    large-star/small-star closure), keepers gated by the quality score,
+    token counts attached for budget accounting. Exact dups are
+    subsumed (Jaccard 1 -> same cluster). Composition of dedup_resolve
+    + quality_scores + token_counts; the oracle composes the same CTEs,
+    so the whole pipeline value-hash-matches end to end."""
+    from .operators.clusters import resolve_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    keepers = resolve_duplicates(docs, pairs, id_col="doc_id").filter("is_keeper").select("id")
+    quality = TS.quality_scores(docs).select("id", "quality")
+    tokens = TS.token_counts(docs).select("id", "n_bpe_tokens")
+    out = (
+        keepers.join(quality, "id")
+        .join(tokens, "id")
+        .filter(F.col("quality") >= 0.5)
+    )
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        pround(F.col("quality"), 6).alias("quality"),
+    )
+
+
 def _bm25_oracle() -> str:
     from .operators.retrieval import bm25_sql
 
@@ -2208,3 +2294,224 @@ def q_ann_topk_pruned(spark, sf_dir):
     qvec = [float(x) for x in emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]]
     out = S.ann_topk_pruned(spark, store, qvec, k=10, n_planes=6, seed=42, max_hamming=1)
     return out.select(F.col("id").cast("long").alias("id"), F.col("qdot").cast("long").alias("qdot"))
+
+
+# ==========================================================================
+# 6. Curation operators: repetition gates, contamination, PII, strata
+# ==========================================================================
+
+
+@register(
+    "gopher_repetition",
+    """
+    WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    base AS (SELECT id, len(ws) AS n_words, len(list_distinct(ws)) AS n_distinct, ws FROM w),
+    pos AS (SELECT id, unnest(ws) AS wd, generate_subscripts(ws, 1) AS i FROM w),
+    runs AS (
+      SELECT id, count(*) AS run
+      FROM (SELECT id, wd, i, i - row_number() OVER (PARTITION BY id, wd ORDER BY i) AS grp FROM pos)
+      GROUP BY id, wd, grp),
+    maxrun AS (SELECT id, max(run) AS max_word_run FROM runs GROUP BY id),
+    bg AS (
+      SELECT id, unnest(list_transform(list_zip(ws[1:len(ws)-1], ws[2:]),
+                                       p -> p[1] || ' ' || p[2])) AS g
+      FROM w WHERE len(ws) >= 2),
+    top AS (
+      SELECT id, max(c) AS top_n
+      FROM (SELECT id, g, count(*) AS c FROM bg GROUP BY id, g) GROUP BY id),
+    feats AS (
+      SELECT b.id, b.n_words,
+             CASE WHEN b.n_words > 0
+                  THEN 1.0 - CAST(b.n_distinct AS DOUBLE) / b.n_words ELSE 0.0 END AS dwf,
+             CASE WHEN b.n_words >= 2
+                  THEN CAST(coalesce(t.top_n, 0) AS DOUBLE) / (b.n_words - 1) ELSE 0.0 END AS tbf,
+             coalesce(m.max_word_run, 0) AS max_word_run
+      FROM base b LEFT JOIN maxrun m ON m.id = b.id LEFT JOIN top t ON t.id = b.id)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(floor(dwf * 1000000 + 0.5) / 1000000 AS DOUBLE) AS dup_word_frac,
+           CAST(floor(tbf * 1000000 + 0.5) / 1000000 AS DOUBLE) AS top_bigram_frac,
+           CAST(max_word_run AS BIGINT) AS max_word_run,
+           (dwf > 0.5 OR (tbf > 0.18 AND n_words >= 20) OR max_word_run >= 3) AS rep_flagged
+    FROM feats
+    """,
+)
+def q_gopher_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gates (dup-word fraction, top
+    bigram fraction, longest word stutter run) as ONE map-only pass —
+    per-row array algebra, zero exchanges. The oracle computes the same
+    statistics relationally (positional unnest + gaps-and-islands for
+    runs), so the cheap per-row form is value-checked against the
+    textbook SQL form."""
+    from .operators import curation as C
+
+    return C.repetition_stats(_docs(spark, sf_dir))
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    ev AS (SELECT DISTINCT unnest(shingles) AS shingle FROM sh0 WHERE id % 97 = 0),
+    tr AS (SELECT id, len(shingles) AS n_shingles, unnest(shingles) AS shingle
+           FROM sh0 WHERE id % 97 <> 0),
+    hits AS (
+      SELECT t.id, max(t.n_shingles) AS n_shingles, count(e.shingle) AS n_hit
+      FROM tr t LEFT JOIN ev e ON e.shingle = t.shingle
+      GROUP BY t.id)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(n_shingles AS BIGINT) AS n_shingles,
+           CAST(n_hit AS BIGINT) AS n_hit,
+           CAST(floor(CAST(n_hit AS DOUBLE) / n_shingles * 1000000 + 0.5) / 1000000 AS DOUBLE)
+             AS contamination
+    FROM hits
+    """,
+)
+def q_contamination_check(spark, sf_dir):
+    """Train/eval contamination via word-3-gram overlap: the eval split
+    (doc_id % 97 == 0 — deterministic, engine-independent) collapses to
+    its distinct shingle vocabulary, which is F.broadcast to one hash
+    join against the exploded train shingles; one groupBy(id) yields
+    per-doc hit counts. The 100 TB shape: eval vocabularies are small
+    by construction, so the corpus-sized side never shuffles."""
+    from .operators import curation as C
+
+    docs = _docs(spark, sf_dir)
+    out = C.contamination_pairs(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+        k=3,
+    )
+    return out.select(_b("id"), "n_shingles", "n_hit", "contamination")
+
+
+@register(
+    "pii_scrub",
+    """
+    WITH aug AS (
+      SELECT doc_id AS id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or call 555-123-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '\\d{3}-\\d{3}-\\d{4}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(
+                 regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\d{3}-\\d{3}-\\d{4}', '<PHONE>', 'g')) AS scrub_hash
+    FROM aug
+    """,
+)
+def q_pii_scrub(spark, sf_dir):
+    """PII redaction map pass. The corpus has no organic PII, so a
+    deterministic email + phone is first WOVEN INTO each doc from its
+    id (identically in both engines) and then scrubbed; the md5 of the
+    scrubbed text attests byte-exact redaction. Patterns sit in the
+    RE2 ∩ Java-regex dialect subset. Map-only at any scale."""
+    from .operators import curation as C
+
+    docs = _docs(spark, sf_dir)
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-123-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = C.pii_scrub(aug)
+    return out.select(
+        _b("id"), "n_emails", "n_phones", F.md5("scrubbed").alias("scrub_hash")
+    )
+
+
+@register(
+    "stratified_sample_lang",
+    """
+    WITH ranked AS (
+      SELECT doc_id AS id, lang AS stratum,
+             row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents)
+    SELECT CAST(id AS BIGINT) AS id, stratum, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= ceil(n * 0.2)
+    """,
+)
+def q_stratified_sample_lang(spark, sf_dir):
+    """Deterministic stratified sampling: exactly ceil(20%) of every
+    language stratum, selected by the engine-stable md5(id) systematic
+    order. The window is PARTITIONED by the stratum (scalable shape —
+    strata rank independently across tasks; no global-order single
+    partition)."""
+    from .operators import curation as C
+
+    return C.stratified_sample(_docs(spark, sf_dir), "lang", 0.2)
+
+
+@register(
+    "pack_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id,
+             len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_tokens
+      FROM documents),
+    cum AS (
+      SELECT id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ce
+      FROM toks)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(ce - n_tokens AS BIGINT) AS cum_before,
+           CAST((ce - n_tokens) // 512 AS BIGINT) AS chunk_first,
+           CAST(CASE WHEN n_tokens > 0 THEN (ce - 1) // 512
+                     ELSE (ce - n_tokens) // 512 END AS BIGINT) AS chunk_last,
+           CAST((ce - n_tokens) % 512 AS BIGINT) AS offset_in_chunk
+    FROM cum
+    """,
+)
+def q_pack_sequences(spark, sf_dir):
+    """GPT-style concat-and-chunk packing: the corpus token stream (in
+    doc-id order) sliced into 512-token chunks; each doc gets its chunk
+    span + in-chunk offset. The global prefix sum runs THREE-PHASE
+    (range-bucket -> partitioned local cumsum -> broadcast prefix
+    offsets, operators/packing.py) — the oracle is the naive
+    partition-less SUM OVER window, so the distributed scan is
+    value-checked bit-for-bit against the textbook form it replaces."""
+    from .operators import packing as P
+
+    toks = TS.token_counts(_docs(spark, sf_dir)).select("id", F.col("n_bpe_tokens").alias("n_tokens"))
+    out = P.pack_chunks(toks, "n_tokens", ["id"], capacity=512)
+    return out.select(
+        _b("id"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "cum_before",
+        "chunk_first",
+        "chunk_last",
+        "offset_in_chunk",
+    )
+
+
+@register(
+    "inverted_index",
+    """
+    WITH pairs AS (
+      SELECT doc_id AS id, unnest(list_distinct(string_split(text, ' '))) AS term
+      FROM documents)
+    SELECT term,
+           CAST(count(*) AS BIGINT) AS df,
+           list(CAST(id AS BIGINT) ORDER BY id) AS postings
+    FROM pairs GROUP BY term
+    """,
+)
+def q_inverted_index(spark, sf_dir):
+    """Posting-list construction (the materialized-index half of the
+    retrieval story next to bm25_search's fixed-probe scan): explode
+    the per-doc DISTINCT vocabulary, ONE groupBy(term) with sorted
+    collect_list. Zipf head-term skew is an AQE-split shuffle concern,
+    not a correctness one."""
+    from .operators.retrieval import inverted_index
+
+    return inverted_index(_docs(spark, sf_dir))

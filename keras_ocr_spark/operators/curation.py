@@ -1,0 +1,220 @@
+"""Corpus-curation operators beyond dedup: repetition statistics
+(Gopher-style quality gates), train/eval contamination detection,
+PII scrubbing, and deterministic stratified sampling.
+
+Reference analog: the quality predicates of the dataset loaders
+(``/root/reference/keras_ocr/datasets.py:175-187`` — legibility /
+language / ``percent_complete`` filters deciding which samples enter
+training) lifted from per-image metadata to per-document text
+statistics, which is what the same gate looks like in an LLM-data
+pipeline.
+
+Scale notes (the point of each design):
+
+- ``repetition_stats`` is a PURE map pass — every statistic, including
+  the longest consecutive word run, is per-row array algebra inside
+  whole-stage codegen. No shuffle, no Python. At 100 TB it is one scan.
+- ``contamination_pairs`` broadcasts the (small) eval-set shingle
+  vocabulary and counts hits with ONE broadcast hash join + one
+  aggregation keyed by doc — the doc side never shuffles its text,
+  only (id, shingle) pairs, and the eval side is the broadcast.
+- ``pii_scrub`` is a map pass of ``regexp_replace`` chains; the regexes
+  are written in the RE2 ∩ Java-regex dialect so the DuckDB oracle is
+  bit-exact.
+- ``stratified_sample`` uses a window PARTITIONED by the stratum — the
+  scalable window shape (each stratum sorts independently; no global
+  order) — with an md5 systematic order so the sample is deterministic
+  and engine-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ..functions.hashing import shingles_expr, words_expr
+from ..functions.numeric import pround
+
+#: Email + North-American-phone patterns, restricted to the syntax
+#: subset Java regex and RE2 (DuckDB) parse identically.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition features, all per-row (map-only):
+
+    - ``dup_word_frac``: 1 - distinct/total words (bag repetitiveness);
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram
+      over total bigrams (catches looped phrases);
+    - ``max_word_run``: longest run of consecutive identical words
+      (catches "batch batch batch" stutter);
+    - ``rep_flagged``: the curation gate over the above.
+
+    The bigram top count is O(distinct² ) per row — bounded by document
+    length, embarrassingly parallel, and still zero-shuffle; the run
+    length is a single left fold (``F.aggregate``).
+    """
+    words = words_expr(F.col(text_col))
+    n_words = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    dup_word_frac = F.when(
+        n_words > 0, F.lit(1.0) - n_distinct.cast("double") / n_words
+    ).otherwise(F.lit(0.0))
+
+    n_big = n_words - F.lit(1)
+    bigrams = F.zip_with(
+        F.slice(words, 1, n_big),
+        F.slice(words, 2, n_big),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    top_bigram_n = F.when(
+        n_words >= 2,
+        F.array_max(
+            F.transform(
+                F.array_distinct(bigrams),
+                lambda g: F.size(F.filter(bigrams, lambda x: x == g)),
+            )
+        ),
+    ).otherwise(F.lit(0))
+    top_bigram_frac = F.when(
+        n_words >= 2, top_bigram_n.cast("double") / n_big
+    ).otherwise(F.lit(0.0))
+
+    # longest consecutive equal-word run: left fold carrying
+    # (previous word, current run, best run).
+    run_state = F.aggregate(
+        words,
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, w: F.struct(
+            w.alias("prev"),
+            F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    max_word_run = F.when(n_words > 0, run_state["best"]).otherwise(F.lit(0))
+
+    # The bigram gate only fires on docs long enough for the fraction
+    # to be meaningful (Gopher applies its 2-gram rule to full web
+    # documents; at < 20 words a single repeat dominates the ratio).
+    flagged = (
+        (dup_word_frac > F.lit(0.5))
+        | ((top_bigram_frac > F.lit(0.18)) & (n_words >= F.lit(20)))
+        | (max_word_run >= F.lit(3))
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_words.cast("long").alias("n_words"),
+        pround(dup_word_frac, 6).alias("dup_word_frac"),
+        pround(top_bigram_frac, 6).alias("top_bigram_frac"),
+        max_word_run.cast("long").alias("max_word_run"),
+        flagged.alias("rep_flagged"),
+    )
+
+
+def contamination_pairs(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-training-doc overlap with the eval-set shingle vocabulary
+    (train/test contamination check, the n-gram-overlap form used for
+    pretraining-corpus decontamination).
+
+    Plan: the eval side collapses to its DISTINCT word-``k``-gram
+    vocabulary (small — eval sets are; explicitly ``F.broadcast``); the
+    train side explodes its distinct shingles and counts hits with one
+    broadcast hash join + one groupBy(id). Emits
+    ``(id, n_shingles, n_hit, contamination)`` for every train doc
+    with at least one shingle.
+    """
+    t_sh = docs.select(
+        F.col(id_col).alias("id"),
+        shingles_expr(words_expr(F.col(text_col)), k).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    e_vocab = (
+        eval_docs.select(
+            F.explode(shingles_expr(words_expr(F.col(text_col)), k)).alias("shingle")
+        )
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    exploded = t_sh.select(
+        "id", F.size("shingles").alias("n_shingles"), F.explode("shingles").alias("shingle")
+    )
+    joined = exploded.join(F.broadcast(e_vocab), "shingle", "left")
+    out = joined.groupBy("id").agg(
+        F.max("n_shingles").alias("n_shingles"),
+        F.coalesce(F.sum("hit"), F.lit(0)).alias("n_hit"),
+    )
+    return out.select(
+        "id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_hit").cast("long").alias("n_hit"),
+        pround(F.col("n_hit").cast("double") / F.col("n_shingles"), 6).alias(
+            "contamination"
+        ),
+    )
+
+
+def _scrub_expr(text: Column) -> Column:
+    scrubbed = F.regexp_replace(text, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(scrubbed, PHONE_RE, "<PHONE>")
+
+
+def pii_scrub(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Redact emails / phone numbers, returning per-doc redaction counts
+    and the scrubbed text. Pure ``regexp_replace`` map pass (one scan,
+    zero shuffle at any scale); patterns live in the RE2 ∩ Java subset
+    so the oracle replicates them verbatim.
+    """
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long").alias("n_emails"),
+        F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long").alias("n_phones"),
+        _scrub_expr(text).alias("scrubbed"),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    frac: float,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic stratified sample: within each stratum, rank rows
+    by ``(md5(id), id)`` — an engine-stable pseudo-random systematic
+    order — and keep the first ``ceil(frac * stratum_size)``.
+
+    Exact per-stratum proportions (unlike Bernoulli ``sampleBy``),
+    reproducible across engines and runs, and scalable: the window is
+    PARTITIONED by the stratum so each group ranks independently in its
+    own tasks (contrast a global-order window's single task). Skewed
+    strata degrade balance, not correctness.
+    """
+    key = F.md5(F.col(id_col).cast("string"))
+    w = W.partitionBy(strata_col).orderBy(key, F.col(id_col))
+    ranked = df.withColumn("_rk", F.row_number().over(w)).withColumn(
+        "_n", F.count("*").over(W.partitionBy(strata_col))
+    )
+    return (
+        ranked.filter(F.col("_rk") <= F.ceil(F.col("_n") * F.lit(frac)))
+        .select(
+            F.col(id_col).alias("id"),
+            F.col(strata_col).alias("stratum"),
+            F.col("_rk").cast("long").alias("rk"),
+        )
+    )

@@ -118,3 +118,28 @@ def bm25_sql(
     FROM base, stats
     WHERE ({terms}) > 0
     """
+
+
+def inverted_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Materialized posting lists: ``(term, df, postings)`` with
+    postings sorted by doc id.
+
+    The ad-hoc-query counterpart to :func:`bm25_scores` (whose
+    fixed-probe form deliberately avoids this): ONE explode of the
+    per-doc DISTINCT vocabulary + ONE groupBy(term) shuffle — the
+    minimal plan for index construction. At 100 TB the term key is
+    Zipf-skewed; AQE skew-join/partition splitting handles the head,
+    and stop-word terms are exactly the rows a real deployment would
+    prune with a df ceiling before writing.
+    """
+    words = F.split(F.col(text_col), " ")
+    pairs = df.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.explode(F.array_distinct(words)).alias("term"),
+    )
+    return pairs.groupBy("term").agg(
+        F.count("*").cast("long").alias("df"),
+        F.sort_array(F.collect_list("id")).alias("postings"),
+    )

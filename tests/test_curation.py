@@ -1,0 +1,171 @@
+"""Curation operators: repetition stats, contamination, PII scrub,
+stratified sampling, sequence packing, inverted index."""
+
+import math
+import random
+
+import pytest
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from keras_ocr_spark.operators import curation as C
+from keras_ocr_spark.operators import packing as P
+from keras_ocr_spark.operators.retrieval import inverted_index
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestRepetitionStats:
+    def test_known_values(self, spark):
+        df = _docs(
+            spark,
+            [
+                (1, "a b c d"),  # no repetition
+                (2, "a a a a"),  # all one word
+                (3, "x y x y x y"),  # looped bigram
+                (4, "w"),  # single word: no bigrams
+            ],
+        )
+        got = {r["id"]: r for r in C.repetition_stats(df).collect()}
+        assert got[1]["dup_word_frac"] == 0.0
+        assert got[1]["max_word_run"] == 1
+        assert not got[1]["rep_flagged"]
+        assert got[2]["dup_word_frac"] == 0.75
+        assert got[2]["max_word_run"] == 4
+        assert got[2]["rep_flagged"]
+        # "x y x y x y": bigrams = [xy, yx, xy, yx, xy] -> top 3/5
+        assert got[3]["top_bigram_frac"] == pytest.approx(0.6)
+        assert got[3]["rep_flagged"]
+        assert got[4]["top_bigram_frac"] == 0.0
+        assert got[4]["max_word_run"] == 1
+
+    def test_max_run_matches_python(self, spark):
+        rng = random.Random(7)
+        rows = []
+        for i in range(60):
+            words = [rng.choice("ab") for _ in range(rng.randint(1, 30))]
+            rows.append((i, " ".join(words)))
+        got = {r["id"]: r["max_word_run"] for r in C.repetition_stats(_docs(spark, rows)).collect()}
+        for i, text in rows:
+            best = run = 0
+            prev = None
+            for w in text.split(" "):
+                run = run + 1 if w == prev else 1
+                best = max(best, run)
+                prev = w
+            assert got[i] == best, (i, text)
+
+
+class TestContamination:
+    def test_overlap_counts(self, spark):
+        train = _docs(
+            spark,
+            [
+                (1, "the quick brown fox jumps"),  # shares "the quick brown"
+                (2, "totally unrelated words here now"),
+            ],
+        )
+        ev = _docs(spark, [(100, "the quick brown cat")])
+        got = {r["id"]: r for r in C.contamination_pairs(train, ev, k=3).collect()}
+        assert got[1]["n_hit"] == 1 and got[1]["n_shingles"] == 3
+        assert got[1]["contamination"] == pytest.approx(1 / 3, abs=1e-6)
+        assert got[2]["n_hit"] == 0
+
+    def test_short_docs_excluded(self, spark):
+        train = _docs(spark, [(1, "too short")])
+        ev = _docs(spark, [(2, "a b c")])
+        assert C.contamination_pairs(train, ev).count() == 0
+
+
+class TestPiiScrub:
+    def test_redaction(self, spark):
+        df = _docs(
+            spark,
+            [(1, "mail bob.smith+x@corp.example.org or 415-555-1234 twice 415-555-9999")],
+        )
+        r = C.pii_scrub(df).collect()[0]
+        assert r["n_emails"] == 1 and r["n_phones"] == 2
+        assert "<EMAIL>" in r["scrubbed"] and r["scrubbed"].count("<PHONE>") == 2
+        assert "@" not in r["scrubbed"] and "415" not in r["scrubbed"]
+
+    def test_clean_doc_untouched(self, spark):
+        df = _docs(spark, [(1, "no pii at all")])
+        r = C.pii_scrub(df).collect()[0]
+        assert r["n_emails"] == 0 and r["n_phones"] == 0
+        assert r["scrubbed"] == "no pii at all"
+
+
+class TestStratifiedSample:
+    def test_exact_quota_per_stratum(self, spark):
+        rows = [(i, "en" if i % 3 else "de") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = C.stratified_sample(df, "lang", 0.25)
+        by = {r[0]: r[1] for r in out.groupBy("stratum").count().collect()}
+        n_de = sum(1 for _, l in rows if l == "de")
+        n_en = len(rows) - n_de
+        assert by["de"] == math.ceil(0.25 * n_de)
+        assert by["en"] == math.ceil(0.25 * n_en)
+
+    def test_deterministic(self, spark):
+        rows = [(i, "s") for i in range(50)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        a = sorted(r["id"] for r in C.stratified_sample(df, "lang", 0.1).collect())
+        b = sorted(r["id"] for r in C.stratified_sample(df, "lang", 0.1).collect())
+        assert a == b and len(a) == 5
+
+
+class TestPacking:
+    def _toks(self, spark, vals):
+        return spark.createDataFrame(list(enumerate(vals)), "id long, n_tokens long")
+
+    def test_cumsum_matches_window(self, spark):
+        rng = random.Random(3)
+        vals = [rng.randint(0, 40) for _ in range(300)]
+        df = self._toks(spark, vals)
+        got = P.with_global_cumsum(df, "n_tokens", ["id"], "cs", n_range_buckets=7)
+        naive = df.withColumn(
+            "cs",
+            F.sum("n_tokens").over(W.orderBy("id").rowsBetween(W.unboundedPreceding, W.currentRow)),
+        )
+        a = {r["id"]: r["cs"] for r in got.collect()}
+        b = {r["id"]: r["cs"] for r in naive.collect()}
+        assert a == b
+
+    def test_chunk_layout(self, spark):
+        # capacity 10; docs of 4,4,4 tokens: third doc straddles chunk 0/1
+        df = self._toks(spark, [4, 4, 4])
+        got = {r["id"]: r for r in P.pack_chunks(df, "n_tokens", ["id"], 10).collect()}
+        assert (got[0]["chunk_first"], got[0]["chunk_last"], got[0]["offset_in_chunk"]) == (0, 0, 0)
+        assert (got[1]["chunk_first"], got[1]["chunk_last"], got[1]["offset_in_chunk"]) == (0, 0, 4)
+        assert (got[2]["chunk_first"], got[2]["chunk_last"], got[2]["offset_in_chunk"]) == (0, 1, 8)
+
+    def test_zero_token_doc(self, spark):
+        df = self._toks(spark, [10, 0, 5])
+        got = {r["id"]: r for r in P.pack_chunks(df, "n_tokens", ["id"], 10).collect()}
+        assert got[1]["chunk_first"] == got[1]["chunk_last"] == 1
+        assert got[1]["offset_in_chunk"] == 0
+
+    def test_empty_input(self, spark):
+        df = self._toks(spark, [])
+        assert P.pack_chunks(df, "n_tokens", ["id"], 8).count() == 0
+
+    def test_no_single_partition_window(self, spark):
+        df = self._toks(spark, [1, 2, 3])
+        plan = (
+            P.pack_chunks(df, "n_tokens", ["id"], 8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan
+
+
+class TestInvertedIndex:
+    def test_postings(self, spark):
+        df = _docs(spark, [(1, "a b a"), (2, "b c"), (3, "c b")])
+        got = {r["term"]: r for r in inverted_index(df).collect()}
+        assert got["a"]["postings"] == [1] and got["a"]["df"] == 1
+        assert got["b"]["postings"] == [1, 2, 3] and got["b"]["df"] == 3
+        assert got["c"]["postings"] == [2, 3]
