@@ -57,6 +57,9 @@ BENCH_QUERIES_R2 = [
 BENCH_QUERIES_R3 = [
     "dedup_resolve",
     "ann_topk_pruned",
+    "curate_corpus",
+    "gopher_repetition",
+    "pack_sequences",
 ]
 
 #: Synthetic transcript conversations per sf unit (sf0.1 -> 10000 convs,

@@ -2515,3 +2515,120 @@ def q_inverted_index(spark, sf_dir):
     from .operators.retrieval import inverted_index
 
     return inverted_index(_docs(spark, sf_dir))
+
+
+@register(
+    "chunk_documents",
+    """
+    WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    base AS (
+      SELECT id, ws, len(ws) AS n,
+             CASE WHEN len(ws) > 32 THEN 1 + CAST(ceil((len(ws) - 32) / 24.0) AS INT)
+                  WHEN len(ws) > 0 THEN 1 ELSE 0 END AS n_chunks
+      FROM w),
+    ch AS (SELECT id, unnest(range(0, n_chunks)) AS ci, ws, n FROM base WHERE n_chunks > 0)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(ci AS BIGINT) AS chunk_idx,
+           array_to_string(ws[ci * 24 + 1 : ci * 24 + 32], ' ') AS chunk_text,
+           CAST(least(n - ci * 24, 32) AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+)
+def q_chunk_documents(spark, sf_dir):
+    """RAG-prep chunking: 32-token windows with 8-token overlap
+    (stride 24), built per-row with sequence/transform/slice and ONE
+    explode — no join, no shuffle; the output rows ARE the only
+    multiplication. The oracle builds the same windows with DuckDB
+    list slicing."""
+    from .operators import curation as C
+
+    return C.chunk_documents(_docs(spark, sf_dir), chunk_tokens=32, overlap=8)
+
+
+@register(
+    "topk_per_lang",
+    """
+    WITH feats AS (
+      SELECT doc_id AS id, lang, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             len(list_filter(string_split(lower(text), ' '), w -> w = 'the')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'and')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'of')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'to')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'a')) AS stop_hits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents),
+    scored AS (
+      SELECT id, lang,
+             CAST(floor((least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                      + least((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                      + (CAST(1.0 AS DOUBLE) - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DOUBLE) AS quality
+      FROM feats),
+    ranked AS (
+      SELECT id, lang, quality,
+             row_number() OVER (PARTITION BY lang ORDER BY quality DESC, id) AS rk
+      FROM scored)
+    SELECT CAST(id AS BIGINT) AS id, lang, quality, CAST(rk AS BIGINT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def q_topk_per_lang(spark, sf_dir):
+    """Per-group top-k selection (the 'best docs per language' curation
+    cut): window PARTITIONED by the group — each language ranks in its
+    own tasks; no global sort anywhere. Ordering is on the ROUNDED
+    quality + id so both engines rank identical keys."""
+    docs = _docs(spark, sf_dir)
+    scored = TS.quality_scores(docs).select("id", "quality")
+    withlang = scored.join(docs.select(F.col("doc_id").alias("id"), "lang"), "id")
+    w = W.partitionBy("lang").orderBy(F.desc("quality"), F.asc("id"))
+    ranked = withlang.withColumn("rk", F.row_number().over(w))
+    return ranked.filter(F.col("rk") <= 3).select(
+        _b("id"), "lang", F.col("quality").cast("double").alias("quality"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    """
+    SELECT DISTINCT CAST(user_id AS BIGINT) AS user_id, event_type
+    FROM events
+    """,
+)
+def q_stream_dedup_keys(spark, sf_dir):
+    """STREAMING DEDUPLICATION run for real: events stream through
+    dropDuplicatesWithinWatermark on (user_id, event_type) under a
+    60-min watermark (streaming/dedup_stream.py — exactly-once key
+    emission with watermark-BOUNDED state; a plain streaming
+    dropDuplicates would hold every key forever). The emitted key set
+    is arrival-order-invariant, so the oracle is batch DISTINCT; the
+    replay-window contract (in-horizon duplicate dropped, post-eviction
+    re-arrival re-emitted) is pinned in tests/test_streaming.py."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from .streaming.dedup_stream import dedup_within_watermark, distinct_key_counts
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    landing = f"/tmp/dedup_landing_{tag}"
+    if not _P(landing).is_dir():
+        _P(landing).mkdir(parents=True)
+        _sh.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp, value double")
+        .parquet(landing)
+    )
+    global _SESSIONIZE_SEQ
+    _SESSIONIZE_SEQ += 1
+    name = f"stream_dedup_{tag}_{_SESSIONIZE_SEQ}"
+    q = (
+        dedup_within_watermark(stream, ["user_id", "event_type"], "ts", "60 minutes")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return distinct_key_counts(spark.table(name), ["user_id", "event_type"]).select(
+        F.col("user_id").cast("long").alias("user_id"), "event_type"
+    )

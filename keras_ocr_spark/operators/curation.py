@@ -218,3 +218,55 @@ def stratified_sample(
             F.col("_rk").cast("long").alias("rk"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """RAG-prep chunking: split each document's word stream into
+    fixed-size windows with overlap (stride = chunk - overlap),
+    emitting ``(id, chunk_idx, chunk_text, n_tokens)``.
+
+    Per-row ``sequence`` + ``transform`` + ``explode`` — the chunk
+    windows are built inside the row before the single explode, so the
+    only row multiplication is the output itself (no join, no shuffle;
+    at 100 TB this is a map pass whose output is ~len/stride× the
+    input rows). The final short window is kept iff it adds new words
+    (standard RAG convention: last chunk may be shorter, never empty,
+    never fully contained in the previous one).
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    words = words_expr(F.col(text_col))
+    n = F.size(words)
+    # number of chunks: 1 + ceil(max(0, n - chunk) / stride), n > 0
+    n_chunks = F.when(
+        n > chunk_tokens,
+        F.lit(1) + F.ceil((n - F.lit(chunk_tokens)).cast("double") / F.lit(stride)).cast("int"),
+    ).otherwise(F.when(n > 0, F.lit(1)).otherwise(F.lit(0)))
+    idx = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(
+        idx,
+        lambda i: F.struct(
+            i.alias("chunk_idx"),
+            F.concat_ws(" ", F.slice(words, i * stride + 1, chunk_tokens)).alias("chunk_text"),
+            F.least(n - i * stride, F.lit(chunk_tokens)).alias("n_tokens"),
+        ),
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.when(n > 0, chunks).otherwise(F.array().cast(
+            "array<struct<chunk_idx:int,chunk_text:string,n_tokens:int>>"
+        ))).alias("c"),
+    )
+    return out.select(
+        "id",
+        F.col("c.chunk_idx").cast("long").alias("chunk_idx"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").cast("long").alias("n_tokens"),
+    )

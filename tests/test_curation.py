@@ -169,3 +169,56 @@ class TestInvertedIndex:
         assert got["a"]["postings"] == [1] and got["a"]["df"] == 1
         assert got["b"]["postings"] == [1, 2, 3] and got["b"]["df"] == 3
         assert got["c"]["postings"] == [2, 3]
+
+
+class TestChunkDocuments:
+    def test_short_doc_one_chunk(self, spark):
+        df = _docs(spark, [(1, "a b c")])
+        got = C.chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+        assert len(got) == 1
+        assert got[0]["chunk_text"] == "a b c" and got[0]["n_tokens"] == 3
+
+    def test_overlap_layout(self, spark):
+        words = [f"w{i}" for i in range(10)]
+        df = _docs(spark, [(1, " ".join(words))])
+        got = sorted(
+            C.chunk_documents(df, chunk_tokens=4, overlap=2).collect(),
+            key=lambda r: r["chunk_idx"],
+        )
+        # stride 2: starts 0,2,4,6 -> 4 chunks; last covers w6..w9
+        assert [r["chunk_idx"] for r in got] == [0, 1, 2, 3]
+        assert got[0]["chunk_text"] == "w0 w1 w2 w3"
+        assert got[1]["chunk_text"] == "w2 w3 w4 w5"
+        assert got[3]["chunk_text"] == "w6 w7 w8 w9"
+        assert all(r["n_tokens"] == 4 for r in got)
+
+    def test_exact_multiple_no_empty_tail(self, spark):
+        # n == chunk: exactly one chunk, no empty follow-on
+        df = _docs(spark, [(1, " ".join(f"w{i}" for i in range(4)))])
+        got = C.chunk_documents(df, chunk_tokens=4, overlap=2).collect()
+        assert len(got) == 1
+
+    def test_every_word_covered(self, spark):
+        rng = random.Random(11)
+        rows = [(i, " ".join(rng.choice("abc") for _ in range(rng.randint(1, 50)))) for i in range(40)]
+        df = _docs(spark, rows)
+        got = C.chunk_documents(df, chunk_tokens=8, overlap=3)
+        per_doc = {}
+        for r in got.collect():
+            per_doc.setdefault(r["id"], []).append(r)
+        for i, text in rows:
+            words = text.split(" ")
+            chunks = sorted(per_doc[i], key=lambda r: r["chunk_idx"])
+            rebuilt = []
+            for c in chunks:
+                cw = c["chunk_text"].split(" ")
+                assert len(cw) == c["n_tokens"]
+                rebuilt.extend(cw[3:] if c["chunk_idx"] > 0 else cw)
+            # overlap-stripped concatenation reconstructs the doc... unless a
+            # tail chunk is shorter than the overlap (then it only re-covers)
+            assert rebuilt[: len(words)] == words
+
+    def test_overlap_validation(self, spark):
+        df = _docs(spark, [(1, "a b")])
+        with pytest.raises(ValueError):
+            C.chunk_documents(df, chunk_tokens=4, overlap=4)

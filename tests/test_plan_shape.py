@@ -143,7 +143,15 @@ class TestNoAccidentalCartesian:
     queries broadcast the 1-row query vector / probe-cell list)."""
 
     #: Queries where a BNLJ against a broadcast 1-row side is the design.
-    ALLOW_BNLJ = {"ann_cosine_topk", "ann_topk_quantized", "ann_topk_multiprobe", "ann_topk_ivf"}
+    ALLOW_BNLJ = {
+        "ann_cosine_topk",
+        "ann_topk_quantized",
+        "ann_topk_multiprobe",
+        "ann_topk_ivf",
+        # single-row broadcast of the corpus stats (N, avgdl, dfs) —
+        # the same 1-row-side BNLJ design as the ANN queries.
+        "bm25_search",
+    }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {"sessionize_stateful", "stream_windowed_counts"}
 

@@ -241,3 +241,83 @@ def test_windowed_agg_append_drops_late_events(spark, tmp_path):
     # hour-4 window is unemitted.
     h4 = int(pd.Timestamp("2024-01-01 04:00:00").value // 1000)
     assert h4 not in rows
+
+
+def test_stream_dedup_within_watermark_contract(spark, tmp_path):
+    """dropDuplicatesWithinWatermark replay-window contract over three
+    micro-batches: an in-horizon duplicate (same key, state live) is
+    DROPPED; after the watermark evicts the key's state, a fresh
+    arrival of the same key IS re-emitted. Emission count per key is
+    therefore 1 within a horizon, 2 across an eviction."""
+    import os
+    import time as _time
+
+    from keras_ocr_spark.streaming.dedup_stream import dedup_within_watermark
+
+    landing = str(tmp_path / "dland")
+    Path(landing).mkdir()
+
+    def write(fname, rows, mtime):
+        pdf = spark.createDataFrame(
+            [(u, i, et, ts, 1.0) for i, (u, et, ts) in enumerate(rows)],
+            "user_id long, event_id long, event_type string, ts_s string, value double",
+        ).selectExpr("user_id", "event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+        staging = str(tmp_path / f"stage_{fname}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(Path(staging).glob("part-*.parquet"))
+        dest = f"{landing}/{fname}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 1: key (1, click) first seen at 00:00; key (2, view) too.
+    write("f1", [(1, "click", "2024-01-01 00:00:00"), (2, "view", "2024-01-01 00:00:00")], 1_000_000)
+    _time.sleep(0.05)
+    # batch 2: duplicate of (1, click) within the 60-min horizon ->
+    # dropped; the 03:00 row advances the watermark to 02:00 FOR THE
+    # NEXT batch (watermarks trail one micro-batch).
+    write("f2", [(1, "click", "2024-01-01 00:30:00"), (3, "click", "2024-01-01 03:00:00")], 2_000_000)
+    _time.sleep(0.05)
+    # batch 3: runs under watermark 02:00 -> (1, click)'s state
+    # (expiry 00:00 + 60min = 01:00) is evicted at this batch.
+    write("f3", [(4, "scroll", "2024-01-01 03:05:00")], 3_000_000)
+    _time.sleep(0.05)
+    # batch 4: (1, click) re-arrives AFTER eviction -> re-emitted.
+    write("f4", [(1, "click", "2024-01-01 03:10:00")], 4_000_000)
+
+    stream = (
+        spark.readStream.schema("user_id long, event_id long, event_type string, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(landing)
+    )
+    q = (
+        dedup_within_watermark(stream, ["user_id", "event_type"], "ts", "60 minutes")
+        .writeStream.format("memory")
+        .queryName("stream_dedup_contract")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql("SELECT user_id, event_type, ts FROM stream_dedup_contract").collect()
+    emits = {}
+    for r in rows:
+        emits.setdefault((r.user_id, r.event_type), []).append(str(r.ts))
+    assert sorted(emits[(2, "view")]) == ["2024-01-01 00:00:00"]
+    assert sorted(emits[(3, "click")]) == ["2024-01-01 03:00:00"]
+    assert sorted(emits[(4, "scroll")]) == ["2024-01-01 03:05:00"]
+    # key (1, click): first emission + post-eviction re-emission; the
+    # in-horizon 00:30 duplicate never appears.
+    assert sorted(emits[(1, "click")]) == ["2024-01-01 00:00:00", "2024-01-01 03:10:00"]
+
+
+def test_stream_dedup_batch_degrade(spark):
+    """On a batch frame the operator degrades to plain dropDuplicates."""
+    from keras_ocr_spark.streaming.dedup_stream import dedup_within_watermark
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (1, "a", "2024-01-01 05:00:00"), (2, "b", "2024-01-01 00:00:00")],
+        "user_id long, event_type string, ts_s string",
+    ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
+    got = dedup_within_watermark(df, ["user_id", "event_type"], "ts", "60 minutes")
+    assert got.count() == 2
