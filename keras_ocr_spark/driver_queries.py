@@ -2632,3 +2632,100 @@ def q_stream_dedup_keys(spark, sf_dir):
     return distinct_key_counts(spark.table(name), ["user_id", "event_type"]).select(
         F.col("user_id").cast("long").alias("user_id"), "event_type"
     )
+
+
+# ==========================================================================
+# 7. TPC-H classics — the canonical OLAP shapes, exact oracles
+# ==========================================================================
+
+
+@register(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(floor(sum(l_quantity) * 100 + 0.5) / 100 AS DOUBLE) AS sum_qty,
+           CAST(floor(sum(l_extendedprice) * 100 + 0.5) / 100 AS DOUBLE) AS sum_base_price,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount)) * 100 + 0.5) / 100 AS DOUBLE) AS sum_disc_price,
+           CAST(floor(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100 + 0.5) / 100 AS DOUBLE) AS sum_charge,
+           CAST(floor(avg(l_quantity) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_qty,
+           CAST(floor(avg(l_extendedprice) * 100 + 0.5) / 100 AS DOUBLE) AS avg_price,
+           CAST(floor(avg(l_discount) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary — THE canonical scan+filter+agg shape.
+    Scale notes: the shipdate filter reaches the parquet scan as a
+    pushed predicate, only the 7 referenced columns are read, and the
+    agg is partial (map-side combine) before the single tiny shuffle
+    to at most |flag|x|status| groups."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = li.groupBy("l_returnflag", "l_linestatus").agg(
+        pround(F.sum("l_quantity"), 2).alias("sum_qty"),
+        pround(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        pround(F.sum(disc), 2).alias("sum_disc_price"),
+        pround(F.sum(disc * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        pround(F.avg("l_quantity"), 6).alias("avg_qty"),
+        pround(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        pround(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").cast("long").alias("count_order"),
+    )
+    return out
+
+
+@register(
+    "tpch_q3",
+    """
+    SELECT CAST(l.l_orderkey AS BIGINT) AS l_orderkey,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS DOUBLE) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS o_date,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_date, l_orderkey
+    LIMIT 10
+    """,
+)
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority — the canonical selective
+    dim-fact-fact join + agg + top-k. Scale notes: the filtered
+    customer side is explicitly broadcast (dimension ~1/5 of
+    customers); orders⋈lineitem shuffles once on the orderkey; both
+    date filters push to the scans; the top-10 is
+    TakeOrderedAndProject (no global sort materialization). The extra
+    orderkey tie-break makes the LIMIT deterministic cross-engine."""
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    j = li.join(
+        orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    )
+    out = j.groupBy("l_orderkey", "o_orderdate", "o_orderpriority").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        out.select(
+            F.col("l_orderkey").cast("long").alias("l_orderkey"),
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_date"), F.asc("l_orderkey"))
+        .limit(10)
+    )
