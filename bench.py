@@ -60,6 +60,8 @@ BENCH_QUERIES_R3 = [
     "curate_corpus",
     "gopher_repetition",
     "pack_sequences",
+    "chunk_documents",
+    "tpch_q3",
 ]
 
 #: Synthetic transcript conversations per sf unit (sf0.1 -> 10000 convs,

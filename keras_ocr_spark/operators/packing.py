@@ -50,7 +50,14 @@ def with_global_cumsum(
 ) -> DataFrame:
     """Adds the exact inclusive prefix sum of ``value_col`` over the
     total order ``order_cols`` (which must be a unique key sequence)
-    without a partition-less window."""
+    without a partition-less window.
+
+    The input is touched three times (quantile sample, per-bucket
+    totals, the output job), so it is persisted here — callers should
+    pass the NARROW projection (order cols + value col only), which is
+    what gets cached; at corpus scale that's two longs per row, not
+    the documents themselves."""
+    df = df.persist()
     spark = df.sparkSession
     n_range = n_range_buckets or spark.sparkContext.defaultParallelism
     lead = F.col(order_cols[0]).cast("double")
