@@ -2729,3 +2729,54 @@ def q_tpch_q3(spark, sf_dir):
         .orderBy(F.desc("revenue"), F.asc("o_date"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+@register(
+    "dedup_incremental",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    digs AS (
+      SELECT id, list_transform(shingles, s -> md5(s) || md5(s || '#')) AS digests
+      FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature FROM digs),
+    bands AS (
+      SELECT id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT n.id AS new_id, c.id AS corpus_id
+      FROM bands n JOIN bands c
+        ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+      WHERE n.id % 10 = 0 AND c.id % 10 <> 0),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT p.new_id, p.corpus_id, count(*) AS n_common
+      FROM cand p
+      JOIN sh a ON a.id = p.new_id
+      JOIN sh b ON b.id = p.corpus_id AND b.shingle = a.shingle
+      GROUP BY p.new_id, p.corpus_id)
+    SELECT CAST(c.new_id AS BIGINT) AS new_id,
+           CAST(c.corpus_id AS BIGINT) AS corpus_id,
+           CAST(floor(CAST(n_common AS DOUBLE) / (sn.n_shingles + sc.n_shingles - n_common) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS jaccard
+    FROM common c
+    JOIN sizes sn ON sn.id = c.new_id
+    JOIN sizes sc ON sc.id = c.corpus_id
+    WHERE CAST(n_common AS DOUBLE) / (sn.n_shingles + sc.n_shingles - n_common) >= CAST(0.5 AS DOUBLE)
+    """,
+)
+def q_dedup_incremental(spark, sf_dir):
+    """INCREMENTAL near-dup ingest: the day's new batch (doc_id % 10 ==
+    0) probed against the existing corpus's LSH band index WITHOUT any
+    corpus-vs-corpus pairing — the daily-pipeline shape where a full
+    re-dedup would redo O(corpus²) work. The new batch's band index is
+    broadcast (small by construction); at 100 TB the corpus side reads
+    its PERSISTED band_projection output instead of re-hashing text.
+    Candidates verify by exact Jaccard, candidates only."""
+    docs = _docs(spark, sf_dir)
+    out = D.incremental_dedup_pairs(
+        docs.filter(F.col("doc_id") % 10 == 0),
+        docs.filter(F.col("doc_id") % 10 != 0),
+        threshold=0.5,
+    )
+    return out.select(_b("new_id"), _b("corpus_id"), "jaccard")

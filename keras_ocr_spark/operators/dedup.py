@@ -407,3 +407,86 @@ def simhash_near_pairs(
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return pairs.withColumn("hamming", hamming.cast("long")).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")
+
+
+def band_projection(
+    signatures: DataFrame, n_bands: int = 4, rows_per_band: int = 4
+) -> DataFrame:
+    """(id, band_idx, band_key) — the LSH band index of a signature
+    frame. This IS the structure an incremental pipeline persists
+    (partitioned/bucketed by band_key) so tomorrow's batch joins
+    against it without touching yesterday's text."""
+    return signatures.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.md5(
+                            F.concat_ws("|", F.slice("signature", i * rows_per_band + 1, rows_per_band))
+                        ).alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_key")
+
+
+def incremental_dedup_pairs(
+    new_docs: DataFrame,
+    corpus_docs: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    n_hashes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Incremental-ingest near-dup check: which NEW documents collide
+    with the EXISTING corpus — without ever pairing corpus docs against
+    each other (the O(corpus²) work a full re-dedup would redo daily).
+
+    Shape: the corpus side contributes only its band index (at scale,
+    read back from the persisted :func:`band_projection` output — the
+    text is never re-scanned) and its shingle rows for the candidates;
+    the new batch is small by construction, so its band index is
+    ``F.broadcast`` into the probe join. ONE broadcast join finds
+    candidates; exact Jaccard verifies candidates only. Emits
+    ``(new_id, corpus_id, jaccard)``.
+    """
+    rows_per_band = n_hashes // n_bands
+    corpus_bands = band_projection(
+        minhash_signatures_sql(corpus_docs, n_hashes, id_col, text_col, k), n_bands, rows_per_band
+    )
+    new_bands = band_projection(
+        minhash_signatures_sql(new_docs, n_hashes, id_col, text_col, k), n_bands, rows_per_band
+    ).withColumnRenamed("id", "new_id")
+    cands = (
+        corpus_bands.join(F.broadcast(new_bands), ["band_idx", "band_key"])
+        .select(F.col("new_id"), F.col("id").alias("corpus_id"))
+        .distinct()
+    )
+    sh_new = shingle_docs(new_docs, id_col, text_col, k).withColumnRenamed("id", "new_id")
+    sh_corpus = (
+        shingle_docs(corpus_docs, id_col, text_col, k)
+        .withColumnRenamed("id", "corpus_id")
+        .withColumnRenamed("shingle", "shingle_c")
+    )
+    sizes_new = sh_new.groupBy("new_id").agg(F.count("*").alias("n_new"))
+    sizes_corpus = sh_corpus.groupBy("corpus_id").agg(F.count("*").alias("n_corpus"))
+    common = (
+        cands.join(sh_new, "new_id")
+        .join(sh_corpus, "corpus_id")
+        .filter(F.col("shingle") == F.col("shingle_c"))
+        .groupBy("new_id", "corpus_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes_new, "new_id")
+        .join(sizes_corpus, "corpus_id")
+        .withColumn("jaccard", F.col("n_common") / (F.col("n_new") + F.col("n_corpus") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("new_id", "corpus_id", pround(F.col("jaccard"), 6).alias("jaccard"))
+    )

@@ -222,3 +222,39 @@ class TestChunkDocuments:
         df = _docs(spark, [(1, "a b")])
         with pytest.raises(ValueError):
             C.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+class TestIncrementalDedup:
+    def test_cross_batch_collision_only(self, spark):
+        from keras_ocr_spark.operators.dedup import incremental_dedup_pairs
+
+        base = "spark merges the sorted runs into one partitioned table scan"
+        corpus = _docs(
+            spark,
+            [
+                (1, base),
+                (2, base + " with extra tail words"),  # near-dup of 1 (in-corpus)
+                (3, "completely different content about streaming joins here"),
+            ],
+        )
+        new = _docs(spark, [(10, base), (11, "unrelated brand new document text words")])
+        got = incremental_dedup_pairs(new, corpus, threshold=0.5)
+        rows = {(r["new_id"], r["corpus_id"]) for r in got.collect()}
+        # new doc 10 collides with corpus 1 (identical) and 2 (near);
+        # the in-corpus near-pair (1,2) must NOT appear.
+        assert (10, 1) in rows
+        assert all(nid == 10 for nid, _ in rows)
+
+    def test_plan_broadcast_no_cartesian(self, spark):
+        from keras_ocr_spark.operators.dedup import incremental_dedup_pairs
+
+        corpus = _docs(spark, [(i, f"w{i} x y z a b c") for i in range(20)])
+        new = _docs(spark, [(100, "w1 x y z a b c")])
+        plan = (
+            incremental_dedup_pairs(new, corpus)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan
