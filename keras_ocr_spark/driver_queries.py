@@ -2551,7 +2551,7 @@ def q_chunk_documents(spark, sf_dir):
     WITH feats AS (
       SELECT doc_id AS id, lang, length(text) AS n_chars,
              len(string_split(text, ' ')) AS n_words,
-             len(list_filter(string_split(lower(text), ' '), w -> w = 'the')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'and')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'of')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'to')) + len(list_filter(string_split(lower(text), ' '), w -> w = 'a')) AS stop_hits,
+             __STOP_SQL__ AS stop_hits,
              len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
       FROM documents),
     scored AS (
@@ -2567,7 +2567,7 @@ def q_chunk_documents(spark, sf_dir):
       FROM scored)
     SELECT CAST(id AS BIGINT) AS id, lang, quality, CAST(rk AS BIGINT) AS rk
     FROM ranked WHERE rk <= 3
-    """,
+    """.replace("__STOP_SQL__", _lang_score_sql(TS.LANG_MARKERS["en"])),
 )
 def q_topk_per_lang(spark, sf_dir):
     """Per-group top-k selection (the 'best docs per language' curation

@@ -222,22 +222,7 @@ def lsh_candidate_pairs(
     buckets the cap removed — count it, log it, or write it next to the
     pairs so the truncation is observable, never silent.
     """
-    bands = signatures.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band_idx"),
-                        F.md5(F.concat_ws("|", F.slice("signature", i * rows_per_band + 1, rows_per_band))).alias(
-                            "band_key"
-                        ),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("band"),
-    ).select("id", "band.band_idx", "band.band_key")
+    bands = band_projection(signatures, n_bands, rows_per_band)
     buckets = (
         bands.groupBy("band_idx", "band_key")
         .agg(F.sort_array(F.collect_set("id")).alias("ids"))
@@ -269,6 +254,38 @@ def lsh_candidate_pairs(
     return result
 
 
+def verify_jaccard(
+    cands: DataFrame,
+    sh_left: DataFrame,
+    sh_right: DataFrame,
+    left_col: str,
+    right_col: str,
+    threshold: float,
+) -> DataFrame:
+    """Exact-Jaccard verification of CANDIDATE pairs only (the scale
+    path — the expensive shingle join touches candidates, not all
+    pairs). ``sh_left`` / ``sh_right`` are exploded shingle frames
+    ``(left_col|right_col, shingle)``; emits
+    ``(left_col, right_col, jaccard)`` for pairs >= threshold."""
+    sh_right = sh_right.withColumnRenamed("shingle", "_shingle_r")
+    sizes_l = sh_left.groupBy(left_col).agg(F.count("*").alias("_n_l"))
+    sizes_r = sh_right.groupBy(right_col).agg(F.count("*").alias("_n_r"))
+    common = (
+        cands.join(sh_left, left_col)
+        .join(sh_right, right_col)
+        .filter(F.col("shingle") == F.col("_shingle_r"))
+        .groupBy(left_col, right_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes_l, left_col)
+        .join(sizes_r, right_col)
+        .withColumn("jaccard", F.col("n_common") / (F.col("_n_l") + F.col("_n_r") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select(left_col, right_col, pround(F.col("jaccard"), 6).alias("jaccard"))
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -280,29 +297,19 @@ def minhash_dedup_pairs(
     max_bucket_size: int | None = 10_000,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup flow: signatures -> candidates ->
-    exact-Jaccard verification of CANDIDATES ONLY (the scale path — the
-    expensive shingle join touches candidate pairs, not all pairs).
+    exact-Jaccard verification of candidates only (:func:`verify_jaccard`).
     The pipeline flow opts into the hot-bucket cap explicitly (scale
     guard); pass ``max_bucket_size=None`` for exhaustive recall work."""
     sigs = minhash_signatures(df, n_hashes, id_col, text_col, k)
     cands = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands, max_bucket_size=max_bucket_size)
     sh = shingle_docs(df, id_col, text_col, k)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
-    a_sh = sh.withColumnRenamed("id", "id_a")
-    b_sh = sh.withColumnRenamed("id", "id_b").withColumnRenamed("shingle", "shingle_b")
-    common = (
-        cands.join(a_sh, "id_a")
-        .join(b_sh, "id_b")
-        .filter(F.col("shingle") == F.col("shingle_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
-        .withColumn("jaccard", F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", pround(F.col("jaccard"), 6).alias("jaccard"))
+    return verify_jaccard(
+        cands,
+        sh.withColumnRenamed("id", "id_a"),
+        sh.withColumnRenamed("id", "id_b"),
+        "id_a",
+        "id_b",
+        threshold,
     )
 
 
@@ -468,25 +475,11 @@ def incremental_dedup_pairs(
         .select(F.col("new_id"), F.col("id").alias("corpus_id"))
         .distinct()
     )
-    sh_new = shingle_docs(new_docs, id_col, text_col, k).withColumnRenamed("id", "new_id")
-    sh_corpus = (
-        shingle_docs(corpus_docs, id_col, text_col, k)
-        .withColumnRenamed("id", "corpus_id")
-        .withColumnRenamed("shingle", "shingle_c")
-    )
-    sizes_new = sh_new.groupBy("new_id").agg(F.count("*").alias("n_new"))
-    sizes_corpus = sh_corpus.groupBy("corpus_id").agg(F.count("*").alias("n_corpus"))
-    common = (
-        cands.join(sh_new, "new_id")
-        .join(sh_corpus, "corpus_id")
-        .filter(F.col("shingle") == F.col("shingle_c"))
-        .groupBy("new_id", "corpus_id")
-        .agg(F.count("*").alias("n_common"))
-    )
-    return (
-        common.join(sizes_new, "new_id")
-        .join(sizes_corpus, "corpus_id")
-        .withColumn("jaccard", F.col("n_common") / (F.col("n_new") + F.col("n_corpus") - F.col("n_common")))
-        .filter(F.col("jaccard") >= threshold)
-        .select("new_id", "corpus_id", pround(F.col("jaccard"), 6).alias("jaccard"))
+    return verify_jaccard(
+        cands,
+        shingle_docs(new_docs, id_col, text_col, k).withColumnRenamed("id", "new_id"),
+        shingle_docs(corpus_docs, id_col, text_col, k).withColumnRenamed("id", "corpus_id"),
+        "new_id",
+        "corpus_id",
+        threshold,
     )

@@ -53,10 +53,12 @@ def with_global_cumsum(
     without a partition-less window.
 
     The input is touched three times (quantile sample, per-bucket
-    totals, the output job), so it is persisted here — callers should
-    pass the NARROW projection (order cols + value col only), which is
-    what gets cached; at corpus scale that's two longs per row, not
-    the documents themselves."""
+    totals, the output job). It is persisted for the two driver-side
+    actions and UNPERSISTED before returning — the output job then
+    recomputes the input once (2 upstream computations total instead
+    of 3 uncached), but repeated calls cannot leak cache entries for
+    the session lifetime. Callers should pass the NARROW projection
+    (order cols + value col only) so the cached pass is cheap."""
     df = df.persist()
     spark = df.sparkSession
     n_range = n_range_buckets or spark.sparkContext.defaultParallelism
@@ -79,6 +81,7 @@ def with_global_cumsum(
         .agg(F.coalesce(F.sum(F.col(value_col).cast("long")), F.lit(0)).alias("s"))
         .collect()
     }
+    df.unpersist()
     offsets, acc = {}, 0
     for b in sorted(totals):
         offsets[b] = acc

@@ -153,7 +153,7 @@ class TestNoAccidentalCartesian:
         "bm25_search",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
-    SKIP = {"sessionize_stateful", "stream_windowed_counts"}
+    SKIP = {"sessionize_stateful", "stream_windowed_counts", "stream_dedup_keys"}
 
     def test_no_cartesian_any_query(self, spark):
         from keras_ocr_spark.driver_queries import QUERIES
