@@ -2780,3 +2780,33 @@ def q_dedup_incremental(spark, sf_dir):
         threshold=0.5,
     )
     return out.select(_b("new_id"), _b("corpus_id"), "jaccard")
+
+
+@register(
+    "jsonl_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id, text, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_jsonl_roundtrip(spark, sf_dir):
+    """Polymorphic-source coverage: documents written as JSON-lines
+    (the LLM-tooling interchange format) and read back with an
+    EXPLICIT schema (no inference pass — at 100 TB inference is a
+    full extra scan). The oracle reads the original parquet, so the
+    value-hash match proves the JSONL write+read round-trip is
+    byte-lossless, including non-ASCII text."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    from .sources.tableio import read_jsonl, write_jsonl
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/docs_jsonl_{tag}"
+    if not (_P(path) / "_SUCCESS").exists():
+        write_jsonl(_t(spark, sf_dir, "documents"), path)
+    out = read_jsonl(spark, path, "doc_id long, text string, lang string, source string, n_chars long")
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), "text", "lang", "source", _b("n_chars")
+    )

@@ -68,3 +68,26 @@ def get_table_io(spark: SparkSession, backend: str = "parquet"):
     if backend == "iceberg":
         return IcebergTableIO(spark)
     return ParquetTableIO(spark)
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Write a frame as JSON-lines (the interchange format most
+    LLM-data tooling speaks). One file per partition, standard Spark
+    text-JSON encoding."""
+    df.write.mode("overwrite").json(path)
+
+
+def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
+    """Read JSON-lines with an EXPLICIT schema.
+
+    Schema inference over JSONL costs a full extra pass over the data
+    and can widen types on dirty rows — at 100 TB both are
+    disqualifying, so the schema is required, the scan is single-pass,
+    and malformed rows surface in the standard ``_corrupt_record``
+    behavior (PERMISSIVE) rather than silently changing column types.
+
+    Reference analog: ``tools.read`` polymorphic source handling
+    (``/root/reference/keras_ocr/tools.py:19-38``) — format dispatch
+    at the edge, one internal representation after it.
+    """
+    return spark.read.schema(schema).json(path)
