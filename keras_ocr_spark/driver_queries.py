@@ -2810,3 +2810,85 @@ def q_jsonl_roundtrip(spark, sf_dir):
     return out.select(
         F.col("doc_id").cast("long").alias("id"), "text", "lang", "source", _b("n_chars")
     )
+
+
+@register(
+    "merge_upsert_documents",
+    """
+    WITH src AS (
+      SELECT doc_id, upper(text) AS text, lang, source, n_chars
+      FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new ' || text, lang, source, n_chars + 4
+      FROM documents WHERE doc_id % 100 = 0)
+    SELECT CAST(coalesce(s.doc_id, t.doc_id) AS BIGINT) AS id,
+           coalesce(CASE WHEN s.doc_id IS NOT NULL THEN s.text END, t.text) AS text,
+           coalesce(CASE WHEN s.doc_id IS NOT NULL THEN s.lang END, t.lang) AS lang,
+           CAST(coalesce(CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars END, t.n_chars) AS BIGINT) AS n_chars
+    FROM documents t FULL JOIN src s ON s.doc_id = t.doc_id
+    """,
+)
+def q_merge_upsert_documents(spark, sf_dir):
+    """SCD1 MERGE (the lakehouse upsert): a correction batch (docs
+    %10==0 re-extracted as uppercase) plus genuinely new rows
+    (%100==0, shifted ids) merged into the corpus — matched rows
+    UPDATE, unmatched INSERT, rest carry over. ONE full-outer
+    equi-join; on Iceberg this plan IS `MERGE INTO` (tableio docstring
+    maps the seam)."""
+    from .operators.merge import merge_upsert
+
+    docs = _t(spark, sf_dir, "documents")
+    src = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.upper("text").alias("text"), "lang", "source", "n_chars")
+        .unionByName(
+            docs.filter(F.col("doc_id") % 100 == 0).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 4).alias("n_chars"),
+            )
+        )
+    )
+    out = merge_upsert(docs.select("doc_id", "text", "lang", "source", "n_chars"), src, ["doc_id"])
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), "text", "lang", _b("n_chars")
+    )
+
+
+@register(
+    "cogroup_user_activity",
+    """
+    WITH e AS (SELECT user_id, count(*) AS n_events,
+                      floor(sum(value) * 100 + 0.5) / 100 AS events_value
+               FROM events GROUP BY user_id),
+    o AS (SELECT o_custkey, count(*) AS n_orders,
+                 floor(sum(o_totalprice) * 100 + 0.5) / 100 AS orders_total
+          FROM orders GROUP BY o_custkey)
+    SELECT CAST(coalesce(e.user_id, o.o_custkey) AS BIGINT) AS user_id,
+           CAST(coalesce(e.n_events, 0) AS BIGINT) AS n_events,
+           CAST(coalesce(e.events_value, 0.0) AS DOUBLE) AS events_value,
+           CAST(coalesce(o.n_orders, 0) AS BIGINT) AS n_orders,
+           CAST(coalesce(o.orders_total, 0.0) AS DOUBLE) AS orders_total
+    FROM e FULL JOIN o ON o.o_custkey = e.user_id
+    """,
+)
+def q_cogroup_user_activity(spark, sf_dir):
+    """COGROUPED pandas UDF surface (groupBy().cogroup().applyInPandas
+    — the per-key two-frame escape hatch): events and orders
+    co-shuffled on the user key, each key's two groups merged in one
+    Python call. The example logic is join-expressible ON PURPOSE so
+    the oracle can certify the cogroup path exactly; the float sums
+    are per-key pandas sums, rounded with the same floor-round both
+    sides."""
+    from .operators.cogroup import cogroup_user_activity
+
+    out = cogroup_user_activity(_t(spark, sf_dir, "events"), _t(spark, sf_dir, "orders"))
+    return out.select(
+        _b("user_id"),
+        _b("n_events"),
+        pround(F.col("events_value"), 2).alias("events_value"),
+        _b("n_orders"),
+        pround(F.col("orders_total"), 2).alias("orders_total"),
+    )

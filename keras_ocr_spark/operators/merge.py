@@ -1,0 +1,52 @@
+"""SCD1 merge-upsert — the lakehouse MERGE INTO shape, backend-neutral.
+
+A daily ingest doesn't append blindly: corrected turns / re-crawled
+docs must UPDATE their row, genuinely new keys INSERT. On Iceberg this
+is ``MERGE INTO target USING source ON key WHEN MATCHED THEN UPDATE
+WHEN NOT MATCHED THEN INSERT`` (copy-on-write / merge-on-read decided
+by the table); this sandbox has no Iceberg jars (see
+``sources/tableio.IcebergTableIO``), so the operator computes the
+exact post-MERGE table as a plan any backend can write back.
+
+Plan shape: ONE full-outer equi-join on the key (source wins where
+both exist) — a single hash shuffle of each side; at 100 TB with a
+bucketed/partitioned target the join co-locates and the rewrite
+touches only matched partitions (what Iceberg's merge-on-read does
+natively).
+
+Reference analog: ``download_and_verify``'s replace-if-changed
+semantics (``/root/reference/keras_ocr/tools.py:81-101``) — fetch,
+compare, overwrite the stale copy — lifted from files to table rows.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def merge_upsert(target: DataFrame, source: DataFrame, key_cols: Sequence[str]) -> DataFrame:
+    """Post-MERGE table: source rows replace matching target rows
+    (SCD1 'source wins'), unmatched source rows insert, unmatched
+    target rows carry over. Both frames must share a schema."""
+    if target.columns != source.columns:
+        raise ValueError(f"schema mismatch: {target.columns} vs {source.columns}")
+    keys = list(key_cols)
+    vals = [c for c in target.columns if c not in keys]
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
+    joined = t.join(s, cond, "full_outer")
+    picked = [
+        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+    ] + [
+        # source wins whenever the source ROW exists (matched update),
+        # not merely when its value is non-null.
+        F.when(F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}"))
+        .otherwise(F.col(f"t.{c}"))
+        .alias(c)
+        for c in vals
+    ]
+    return joined.select(*picked)

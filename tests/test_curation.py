@@ -258,3 +258,52 @@ class TestIncrementalDedup:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestMergeUpsert:
+    def test_update_insert_carryover(self, spark):
+        from keras_ocr_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame(
+            [(1, "old a"), (2, "old b")], "id long, text string"
+        )
+        source = spark.createDataFrame(
+            [(2, "NEW b"), (3, "NEW c")], "id long, text string"
+        )
+        got = {r["id"]: r["text"] for r in merge_upsert(target, source, ["id"]).collect()}
+        assert got == {1: "old a", 2: "NEW b", 3: "NEW c"}
+
+    def test_source_null_value_wins_on_match(self, spark):
+        # SCD1: a matched source row replaces the target row even where
+        # the source VALUE is null (row presence decides, not value).
+        from keras_ocr_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([(1, "keep?")], "id long, text string")
+        source = spark.createDataFrame([(1, None)], "id long, text string")
+        got = merge_upsert(target, source, ["id"]).collect()
+        assert got[0]["text"] is None
+
+    def test_schema_mismatch_raises(self, spark):
+        from keras_ocr_spark.operators.merge import merge_upsert
+
+        a = spark.createDataFrame([(1, "x")], "id long, text string")
+        b = spark.createDataFrame([(1,)], "id long")
+        with pytest.raises(ValueError):
+            merge_upsert(a, b, ["id"])
+
+
+class TestCogroup:
+    def test_full_outer_keys(self, spark):
+        from keras_ocr_spark.operators.cogroup import cogroup_user_activity
+
+        ev = spark.createDataFrame(
+            [(1, 2.0), (1, 3.0), (5, 1.0)], "user_id long, value double"
+        )
+        orders = spark.createDataFrame(
+            [(1, 10.0), (7, 20.0)], "o_custkey long, o_totalprice double"
+        )
+        got = {r["user_id"]: r for r in cogroup_user_activity(ev, orders).collect()}
+        assert set(got) == {1, 5, 7}
+        assert got[1]["n_events"] == 2 and got[1]["events_value"] == 5.0
+        assert got[1]["n_orders"] == 1 and got[1]["orders_total"] == 10.0
+        assert got[5]["n_orders"] == 0 and got[7]["n_events"] == 0
