@@ -2892,3 +2892,45 @@ def q_cogroup_user_activity(spark, sf_dir):
         _b("n_orders"),
         pround(F.col("orders_total"), 2).alias("orders_total"),
     )
+
+
+@register(
+    "table_diff_documents",
+    """
+    WITH src AS (
+      SELECT doc_id, upper(text) AS text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 1000000, 'new ' || text FROM documents WHERE doc_id % 100 = 0),
+    merged AS (
+      SELECT coalesce(s.doc_id, t.doc_id) AS doc_id,
+             coalesce(CASE WHEN s.doc_id IS NOT NULL THEN s.text END, t.text) AS text
+      FROM documents t FULL JOIN src s ON s.doc_id = t.doc_id)
+    SELECT CAST(coalesce(m.doc_id, d.doc_id) AS BIGINT) AS doc_id,
+           CASE WHEN m.doc_id IS NULL THEN 'only_left'
+                WHEN d.doc_id IS NULL THEN 'only_right'
+                ELSE 'changed' END AS status
+    FROM documents d FULL JOIN merged m ON m.doc_id = d.doc_id
+    WHERE d.doc_id IS NULL OR m.doc_id IS NULL OR d.text <> m.text
+    """,
+)
+def q_table_diff_documents(spark, sf_dir):
+    """Keyed table diff (the pre-commit validation primitive): the
+    corpus diffed against its post-MERGE version — upper-cased docs
+    surface as 'changed' (uppercasing is a no-op only for textless
+    rows, which don't exist), inserted ids as 'only_right'. The
+    shuffle carries an md5 row digest, not the row (wide tables diff
+    in O(1) shuffled bytes/row)."""
+    from .operators.merge import merge_upsert, table_diff
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    src = (
+        docs.filter(F.col("doc_id") % 10 == 0)
+        .select("doc_id", F.upper("text").alias("text"))
+        .unionByName(
+            _t(spark, sf_dir, "documents")
+            .filter(F.col("doc_id") % 100 == 0)
+            .select((F.col("doc_id") + 1000000).alias("doc_id"), F.concat(F.lit("new "), F.col("text")).alias("text"))
+        )
+    )
+    merged = merge_upsert(docs, src, ["doc_id"])
+    return table_diff(docs, merged, ["doc_id"]).select(_b("doc_id"), "status")

@@ -50,3 +50,39 @@ def merge_upsert(target: DataFrame, source: DataFrame, key_cols: Sequence[str]) 
         for c in vals
     ]
     return joined.select(*picked)
+
+
+def table_diff(
+    left: DataFrame, right: DataFrame, key_cols: Sequence[str]
+) -> DataFrame:
+    """Keyed diff of two same-schema tables: one row per key that
+    differs, with ``status`` in {'only_left', 'only_right', 'changed'}.
+
+    The anti-entropy primitive of pipeline operations: validate a
+    migration, a backfill, or a MERGE before committing it. ONE
+    full-outer equi-join on the key; value comparison is a single
+    md5-over-concatenated-values expression per side, so wide rows
+    compare in O(1) shuffled bytes per row... the shuffle carries the
+    digest, not the row. Keys whose rows are identical are dropped
+    before the result materializes.
+    """
+    if left.columns != right.columns:
+        raise ValueError(f"schema mismatch: {left.columns} vs {right.columns}")
+    keys = list(key_cols)
+    vals = [c for c in left.columns if c not in keys]
+
+    def digest(df: DataFrame, side: str) -> DataFrame:
+        fp = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in vals]))
+        return df.select(*keys, fp.alias(f"_fp_{side}"))
+
+    l = digest(left, "l")
+    r = digest(right, "r")
+    cond = [l[k].eqNullSafe(r[k]) for k in keys]
+    joined = l.join(r, cond, "full_outer")
+    status = (
+        F.when(r["_fp_r"].isNull(), F.lit("only_left"))
+        .when(l["_fp_l"].isNull(), F.lit("only_right"))
+        .when(l["_fp_l"] != r["_fp_r"], F.lit("changed"))
+    )
+    picked = [F.coalesce(l[k], r[k]).alias(k) for k in keys]
+    return joined.select(*picked, status.alias("status")).filter(F.col("status").isNotNull())

@@ -307,3 +307,26 @@ class TestCogroup:
         assert got[1]["n_events"] == 2 and got[1]["events_value"] == 5.0
         assert got[1]["n_orders"] == 1 and got[1]["orders_total"] == 10.0
         assert got[5]["n_orders"] == 0 and got[7]["n_events"] == 0
+
+
+class TestTableDiff:
+    def test_statuses(self, spark):
+        from keras_ocr_spark.operators.merge import table_diff
+
+        a = spark.createDataFrame(
+            [(1, "same"), (2, "old"), (3, "gone")], "id long, text string"
+        )
+        b = spark.createDataFrame(
+            [(1, "same"), (2, "NEW"), (4, "added")], "id long, text string"
+        )
+        got = {r["id"]: r["status"] for r in table_diff(a, b, ["id"]).collect()}
+        assert got == {2: "changed", 3: "only_left", 4: "only_right"}
+
+    def test_null_value_vs_missing_row(self, spark):
+        from keras_ocr_spark.operators.merge import table_diff
+
+        a = spark.createDataFrame([(1, None), (2, "x")], "id long, text string")
+        b = spark.createDataFrame([(1, None), (2, None)], "id long, text string")
+        got = {r["id"]: r["status"] for r in table_diff(a, b, ["id"]).collect()}
+        # identical null values are NOT a diff; null vs value is.
+        assert got == {2: "changed"}
