@@ -2934,3 +2934,25 @@ def q_table_diff_documents(spark, sf_dir):
     )
     merged = merge_upsert(docs, src, ["doc_id"])
     return table_diff(docs, merged, ["doc_id"]).select(_b("doc_id"), "status")
+
+
+@register(
+    "unigram_logprob",
+    """
+    WITH w AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS word FROM documents),
+    f AS (SELECT word, count(*) AS c FROM w GROUP BY word),
+    tot AS (SELECT sum(c) AS t FROM f),
+    lp AS (SELECT word, ln(CAST(c AS DOUBLE) / t) AS lp FROM f, tot)
+    SELECT CAST(w.id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_words,
+           CAST(floor(avg(lp.lp) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_logprob
+    FROM w JOIN lp ON lp.word = w.word
+    GROUP BY w.id
+    """,
+)
+def q_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality scoring: mean unigram log-prob per doc
+    under the corpus's own distribution. One vocabulary-sized count agg
+    (broadcast back), one scoring join, one per-doc mean — the KenLM-
+    filter shape without a model artifact."""
+    return TS.unigram_logprob(_docs(spark, sf_dir))

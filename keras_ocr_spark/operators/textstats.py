@@ -103,3 +103,32 @@ def fingerprints(df: DataFrame, n_min: int = 4, id_col: str = "doc_id", text_col
     word_hashes = F.array_sort(F.array_distinct(F.transform(words_expr(F.col(text_col)), F.md5)))
     fp = F.md5(F.concat_ws("|", F.slice(word_hashes, 1, n_min)))
     return df.select(F.col(id_col).alias("id"), fp.alias("fingerprint"))
+
+
+def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Corpus-LM quality proxy: each doc's mean word log-probability
+    under the corpus's own unigram distribution (the cheap stand-in
+    for KenLM-perplexity filtering — improbable-token soup scores low,
+    fluent-for-this-corpus text scores high).
+
+    Two-pass shape: ONE count aggregation builds the unigram table
+    (vocabulary-sized — tiny relative to the corpus, F.broadcast), then
+    the scoring join + per-doc mean. At 100 TB the frequency table is
+    computed once and REUSED across scoring runs (write it; the scoring
+    pass is then a single broadcast-join map)."""
+    words = df.select(
+        F.col(id_col).alias("id"), F.explode(words_expr(F.col(text_col))).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("t"))
+    lp = freq.crossJoin(F.broadcast(total)).select(
+        "word", F.log(F.col("c").cast("double") / F.col("t")).alias("lp")
+    )
+    return (
+        words.join(F.broadcast(lp), "word")
+        .groupBy("id")
+        .agg(
+            F.count("*").cast("long").alias("n_words"),
+            pround(F.avg("lp"), 6).alias("avg_logprob"),
+        )
+    )
