@@ -151,6 +151,9 @@ class TestNoAccidentalCartesian:
         # single-row broadcast of the corpus stats (N, avgdl, dfs) —
         # the same 1-row-side BNLJ design as the ANN queries.
         "bm25_search",
+        # 1-row broadcast of the unigram grand total onto the
+        # vocabulary-sized frequency table (both tiny).
+        "unigram_logprob",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {"sessionize_stateful", "stream_windowed_counts", "stream_dedup_keys"}
