@@ -58,3 +58,47 @@ def test_spark_submit_py_files(spark, tmp_path):
     summary = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
     assert sorted(summary["buckets_run"]) == [0, 1]
     assert summary["rows"] == len(pdf)
+
+
+@pytest.mark.slow
+def test_spark_submit_curate_job(spark, tmp_path):
+    """The curation job through spark-submit with only the zip on the
+    python path; idempotence: a re-run produces the identical summary
+    (deterministic keepers + content hash)."""
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    subprocess.run(["bash", str(REPO / "scripts/package.sh")], check=True, capture_output=True)
+    zip_path = REPO / "dist/keras_ocr_spark.zip"
+
+    inp = "/root/testdata/sf0.001/documents.parquet"
+    out = str(tmp_path / "curated")
+
+    def run():
+        proc = subprocess.run(
+            [
+                spark_submit,
+                "--master", "local[4]",
+                "--conf", "spark.ui.enabled=false",
+                "--conf", "spark.sql.shuffle.partitions=8",
+                "--conf", "spark.sql.session.timeZone=UTC",
+                "--py-files", str(zip_path),
+                str(REPO / "scripts/curate_job.py"),
+                "--input", inp,
+                "--output", out,
+            ],
+            capture_output=True,
+            text=True,
+            timeout=420,
+            cwd=str(tmp_path),
+        )
+        assert proc.returncode == 0, proc.stderr[-3000:]
+        return json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])
+
+    s1 = run()
+    assert s1["n_in"] == 500
+    assert 0 < s1["n_kept"] <= 500 - s1["near_dup_pairs"] // 1  # keepers drop >= 0 dups
+    assert s1["kept_tokens"] > 0
+    s2 = run()  # idempotent re-run
+    assert s2 == s1
