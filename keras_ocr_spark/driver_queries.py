@@ -2956,3 +2956,64 @@ def q_unigram_logprob(spark, sf_dir):
     (broadcast back), one scoring join, one per-doc mean — the KenLM-
     filter shape without a model artifact."""
     return TS.unigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "stream_stream_attribution",
+    """
+    SELECT CAST(a.user_id AS BIGINT) AS user_id,
+           CAST(a.event_id AS BIGINT) AS click_event_id,
+           CAST(b.event_id AS BIGINT) AS purchase_event_id,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS lag_us
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click' AND b.event_type = 'purchase'
+     AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 30 MINUTE
+    """,
+)
+def q_stream_stream_attribution(spark, sf_dir):
+    """WATERMARKED STREAM-STREAM JOIN run for real: the events table
+    streams twice (click side / purchase side), joined on user with a
+    30-min event-time range under 60-min watermarks
+    (streaming/join_stream.py — both sides' buffers are state BOUNDED
+    by watermark+window; without them a stream-stream join buffers
+    forever). Inner-join emission is exactly-the-matched-pairs
+    independent of arrival order, so the batch range join is the
+    oracle."""
+    import hashlib as _hl
+    import shutil as _sh
+    from pathlib import Path as _P
+
+    from .streaming.join_stream import attribution_join
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    landing = f"/tmp/attrib_landing_{tag}"
+    if not _P(landing).is_dir():
+        _P(landing).mkdir(parents=True)
+        _sh.copy(f"{sf_dir}/events.parquet", f"{landing}/events.parquet")
+
+    def side(et):
+        return (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp, value double"
+            )
+            .parquet(landing)
+            .filter(F.col("event_type") == et)
+        )
+
+    global _SESSIONIZE_SEQ
+    _SESSIONIZE_SEQ += 1
+    name = f"attrib_{tag}_{_SESSIONIZE_SEQ}"
+    q = (
+        attribution_join(side("click"), side("purchase"), window_minutes=30, watermark_minutes=60)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    return spark.table(name).select(
+        _b("user_id"), _b("click_event_id"), _b("purchase_event_id"), _b("lag_us")
+    )

@@ -156,7 +156,12 @@ class TestNoAccidentalCartesian:
         "unigram_logprob",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
-    SKIP = {"sessionize_stateful", "stream_windowed_counts", "stream_dedup_keys"}
+    SKIP = {
+        "sessionize_stateful",
+        "stream_windowed_counts",
+        "stream_dedup_keys",
+        "stream_stream_attribution",
+    }
 
     def test_no_cartesian_any_query(self, spark):
         from keras_ocr_spark.driver_queries import QUERIES

@@ -321,3 +321,70 @@ def test_stream_dedup_batch_degrade(spark):
     ).selectExpr("user_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts")
     got = dedup_within_watermark(df, ["user_id", "event_type"], "ts", "60 minutes")
     assert got.count() == 2
+
+
+def test_stream_stream_join_state_across_batches(spark, tmp_path):
+    """Stream-stream attribution: a click in micro-batch 1 joins a
+    purchase arriving in micro-batch 2 — the click is BUFFERED JOIN
+    STATE across batches; a purchase outside the 30-min window never
+    matches."""
+    import os
+    import time as _time
+
+    from keras_ocr_spark.streaming.join_stream import attribution_join
+
+    landing = str(tmp_path / "jland")
+    Path(landing).mkdir()
+
+    def write(fname, rows, mtime):
+        pdf = spark.createDataFrame(
+            [(u, i, et, ts, 1.0) for i, (u, et, ts) in rows],
+            "user_id long, event_id long, event_type string, ts_s string, value double",
+        ).selectExpr("user_id", "event_id", "event_type", "CAST(ts_s AS TIMESTAMP) AS ts", "value")
+        staging = str(tmp_path / f"stage_{fname}")
+        pdf.coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(Path(staging).glob("part-*.parquet"))
+        dest = f"{landing}/{fname}.parquet"
+        shutil.move(str(part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    # batch 1: two clicks, no purchases yet.
+    write(
+        "f1",
+        [(1, (1, "click", "2024-01-01 00:00:00")), (2, (2, "click", "2024-01-01 00:00:00"))],
+        1_000_000,
+    )
+    _time.sleep(0.05)
+    # batch 2: user 1 purchases inside the window (cross-batch match);
+    # user 2 purchases 2h later (outside the 30-min window: no match).
+    write(
+        "f2",
+        [(3, (1, "purchase", "2024-01-01 00:10:00")), (4, (2, "purchase", "2024-01-01 02:00:00"))],
+        2_000_000,
+    )
+
+    def side(et):
+        return (
+            spark.readStream.schema(
+                "user_id long, event_id long, event_type string, ts timestamp, value double"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(landing)
+            .filter(f"event_type = '{et}'")
+        )
+
+    q = (
+        attribution_join(side("click"), side("purchase"), 30, 60)
+        .writeStream.format("memory")
+        .queryName("attrib_contract")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    q.stop()
+    rows = spark.sql("SELECT * FROM attrib_contract").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.user_id, r.click_event_id, r.purchase_event_id) == (1, 1, 3)
+    assert r.lag_us == 10 * 60 * 1_000_000
