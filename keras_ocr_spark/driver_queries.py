@@ -3017,3 +3017,35 @@ def q_stream_stream_attribution(spark, sf_dir):
     return spark.table(name).select(
         _b("user_id"), _b("click_event_id"), _b("purchase_event_id"), _b("lag_us")
     )
+
+
+@register(
+    "salted_join_events",
+    """
+    SELECT CAST(e.user_id AS BIGINT) AS user_id,
+           CAST(e.event_id AS BIGINT) AS event_id,
+           c.c_mktsegment AS segment,
+           CAST(floor(e.value * 100 + 0.5) / 100 AS DOUBLE) AS value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def q_salted_join_events(spark, sf_dir):
+    """MANUAL skew-join salting (the guaranteed-fix form next to the
+    AQE automatic split): the fact side salts each row by
+    xxhash64(all columns) % 8, the dim side replicates 8x, the join
+    key becomes (user_id, salt) — a hot user's rows now land in 8
+    reducers instead of one. Row-for-row equal to the plain join,
+    which is exactly what the oracle states."""
+    from .operators.skewjoin import salted_join
+
+    events = _t(spark, sf_dir, "events").select("user_id", "event_id", "value")
+    dim = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = salted_join(events, dim, "user_id", n_salt=8)
+    return out.select(
+        _b("user_id"),
+        _b("event_id"),
+        F.col("c_mktsegment").alias("segment"),
+        pround(F.col("value"), 2).alias("value"),
+    )

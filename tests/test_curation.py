@@ -330,3 +330,29 @@ class TestTableDiff:
         got = {r["id"]: r["status"] for r in table_diff(a, b, ["id"]).collect()}
         # identical null values are NOT a diff; null vs value is.
         assert got == {2: "changed"}
+
+
+class TestSaltedJoin:
+    def test_equals_plain_join(self, spark):
+        from keras_ocr_spark.operators.skewjoin import salted_join
+
+        fact = spark.createDataFrame(
+            [(1, i) for i in range(50)] + [(2, 100)], "k long, v long"
+        )
+        dim = spark.createDataFrame([(1, "hot"), (2, "cold"), (3, "unused")], "k long, d string")
+        got = sorted((r["k"], r["v"], r["d"]) for r in salted_join(fact, dim, "k", n_salt=4).collect())
+        want = sorted((r["k"], r["v"], r["d"]) for r in fact.join(dim, "k").collect())
+        assert got == want and len(got) == 51
+
+    def test_salt_spreads_hot_key(self, spark):
+        from keras_ocr_spark.operators.skewjoin import salted_join
+        from pyspark.sql import functions as F
+
+        fact = spark.createDataFrame([(1, i) for i in range(200)], "k long, v long")
+        dim = spark.createDataFrame([(1, "d")], "k long, d string")
+        f_salted = fact.withColumn(
+            "_salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)).cast("int")
+        )
+        n_salts = f_salted.select("_salt").distinct().count()
+        assert n_salts == 8  # the hot key really occupies every salt bucket
+        assert salted_join(fact, dim, "k", n_salt=8).count() == 200
