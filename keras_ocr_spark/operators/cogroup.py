@@ -32,10 +32,10 @@ def cogroup_user_activity(events: DataFrame, orders: DataFrame) -> DataFrame:
     Keys present on either side appear exactly once."""
 
     def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        if len(left):
-            uid = int(left["user_id"].iloc[0])
-        else:
-            uid = int(right["o_custkey"].iloc[0])
+        raw = left["user_id"].iloc[0] if len(left) else right["o_custkey"].iloc[0]
+        # A NULL join key forms its own cogroup; surface it as a null
+        # key row rather than crashing on int(NaN).
+        uid = None if pd.isna(raw) else int(raw)
         return pd.DataFrame(
             {
                 "user_id": [uid],

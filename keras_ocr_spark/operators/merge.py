@@ -30,23 +30,30 @@ from pyspark.sql import functions as F
 def merge_upsert(target: DataFrame, source: DataFrame, key_cols: Sequence[str]) -> DataFrame:
     """Post-MERGE table: source rows replace matching target rows
     (SCD1 'source wins'), unmatched source rows insert, unmatched
-    target rows carry over. Both frames must share a schema."""
+    target rows carry over. Both frames must share a schema.
+
+    Precondition (same as SQL MERGE INTO, which errors on 'multiple
+    source rows matched'): ``key_cols`` must be unique within
+    ``source`` — a duplicated source key would multiply the matched
+    target row in the output.
+    """
     if target.columns != source.columns:
         raise ValueError(f"schema mismatch: {target.columns} vs {source.columns}")
     keys = list(key_cols)
     vals = [c for c in target.columns if c not in keys]
     t = target.alias("t")
-    s = source.alias("s")
+    # Row-presence marker: never-null, so it works for null keys and
+    # null values alike (keys join via eqNullSafe below).
+    s = source.withColumn("_present", F.lit(True)).alias("s")
     cond = [F.col(f"t.{k}").eqNullSafe(F.col(f"s.{k}")) for k in keys]
     joined = t.join(s, cond, "full_outer")
+    present = F.col("s._present").isNotNull()
     picked = [
-        F.coalesce(F.col(f"s.{k}"), F.col(f"t.{k}")).alias(k) for k in keys
+        F.when(present, F.col(f"s.{k}")).otherwise(F.col(f"t.{k}")).alias(k) for k in keys
     ] + [
         # source wins whenever the source ROW exists (matched update),
         # not merely when its value is non-null.
-        F.when(F.col(f"s.{keys[0]}").isNotNull(), F.col(f"s.{c}"))
-        .otherwise(F.col(f"t.{c}"))
-        .alias(c)
+        F.when(present, F.col(f"s.{c}")).otherwise(F.col(f"t.{c}")).alias(c)
         for c in vals
     ]
     return joined.select(*picked)
@@ -61,10 +68,13 @@ def table_diff(
     The anti-entropy primitive of pipeline operations: validate a
     migration, a backfill, or a MERGE before committing it. ONE
     full-outer equi-join on the key; value comparison is a single
-    md5-over-concatenated-values expression per side, so wide rows
-    compare in O(1) shuffled bytes per row... the shuffle carries the
-    digest, not the row. Keys whose rows are identical are dropped
-    before the result materializes.
+    md5-of-JSON-struct expression per side, so wide rows compare in
+    O(1) shuffled bytes per row... the shuffle carries the digest, not
+    the row. JSON encoding makes the digest injective up to md5:
+    column boundaries are quoted/escaped (no separator-shift
+    collisions) and SQL NULL encodes distinctly from every string.
+    Keys whose rows are identical are dropped before the result
+    materializes.
     """
     if left.columns != right.columns:
         raise ValueError(f"schema mismatch: {left.columns} vs {right.columns}")
@@ -72,7 +82,7 @@ def table_diff(
     vals = [c for c in left.columns if c not in keys]
 
     def digest(df: DataFrame, side: str) -> DataFrame:
-        fp = F.md5(F.concat_ws("\x1f", *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in vals]))
+        fp = F.md5(F.to_json(F.struct(*[F.col(c) for c in vals])))
         return df.select(*keys, fp.alias(f"_fp_{side}"))
 
     l = digest(left, "l")

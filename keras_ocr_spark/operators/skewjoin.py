@@ -11,7 +11,11 @@ already knows its hot keys (or can't rely on runtime stats — e.g.,
 stream-static joins, or skew inside a single key that AQE cannot
 split across its join):
 
-    fact:  salt = pmod(hash(noise), n_salt)        (row spread)
+    fact:  salt = row-position % n_salt              (row spread —
+           position-based, so even fully IDENTICAL duplicate rows of
+           the hot key spread across salts; a value-hash salt would
+           send them all to one reducer, silently un-mitigating the
+           exact scenario above)
     dim:   replicated once per salt value (explode)  (n_salt copies)
     join on (key, salt)                              (hot key now in
                                                       n_salt reducers)
@@ -42,11 +46,20 @@ def salted_join(
     side replicated ``n_salt`` times. Result equals the plain join
     (same rows, modulo column order); only the physical distribution
     differs. ``dim`` columns must not collide with fact columns other
-    than ``key``."""
+    than ``key``.
+
+    ``how`` is restricted to the fact-preserving joins: any join that
+    preserves UNMATCHED dim rows ('right', 'full') would return each
+    of them ``n_salt`` times (one per unmatched replica) and is
+    rejected.
+    """
     if n_salt < 1:
         raise ValueError("n_salt must be >= 1")
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi", "left_anti", "leftanti"}
+    if how not in allowed:
+        raise ValueError(f"how={how!r} would duplicate unmatched dim replicas; use one of {sorted(allowed)}")
     f_salted = fact.withColumn(
-        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(n_salt)).cast("int")
+        "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salt)).cast("int")
     )
     d_repl = dim.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salt)]))

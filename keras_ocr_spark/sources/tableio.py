@@ -82,9 +82,12 @@ def read_jsonl(spark: SparkSession, path: str, schema: str) -> DataFrame:
 
     Schema inference over JSONL costs a full extra pass over the data
     and can widen types on dirty rows — at 100 TB both are
-    disqualifying, so the schema is required, the scan is single-pass,
-    and malformed rows surface in the standard ``_corrupt_record``
-    behavior (PERMISSIVE) rather than silently changing column types.
+    disqualifying, so the schema is required and the scan is
+    single-pass. Malformed-row visibility: in PERMISSIVE mode with an
+    explicit schema a corrupt line becomes an ALL-NULL row (silent) —
+    to surface them, append ``, _corrupt_record string`` to the schema
+    (Spark then captures the raw line there), or read with
+    ``.option("mode", "FAILFAST")`` to abort on the first bad line.
 
     Reference analog: ``tools.read`` polymorphic source handling
     (``/root/reference/keras_ocr/tools.py:19-38``) — format dispatch

@@ -344,15 +344,57 @@ class TestSaltedJoin:
         want = sorted((r["k"], r["v"], r["d"]) for r in fact.join(dim, "k").collect())
         assert got == want and len(got) == 51
 
-    def test_salt_spreads_hot_key(self, spark):
+    def test_salt_spreads_identical_hot_rows(self, spark):
         from keras_ocr_spark.operators.skewjoin import salted_join
         from pyspark.sql import functions as F
 
-        fact = spark.createDataFrame([(1, i) for i in range(200)], "k long, v long")
+        # 200 fully IDENTICAL rows of the hot key — the case a
+        # value-hash salt cannot spread (all hash to one salt).
+        fact = spark.createDataFrame([(1, 7)] * 200, "k long, v long")
         dim = spark.createDataFrame([(1, "d")], "k long, d string")
         f_salted = fact.withColumn(
-            "_salt", F.pmod(F.xxhash64("k", "v"), F.lit(8)).cast("int")
+            "_salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)).cast("int")
         )
         n_salts = f_salted.select("_salt").distinct().count()
-        assert n_salts == 8  # the hot key really occupies every salt bucket
+        assert n_salts == 8  # position-based salt occupies every bucket
         assert salted_join(fact, dim, "k", n_salt=8).count() == 200
+
+    def test_dim_preserving_join_rejected(self, spark):
+        from keras_ocr_spark.operators.skewjoin import salted_join
+
+        fact = spark.createDataFrame([(1, 1)], "k long, v long")
+        dim = spark.createDataFrame([(1, "d"), (2, "unmatched")], "k long, d string")
+        with pytest.raises(ValueError):
+            salted_join(fact, dim, "k", n_salt=4, how="right")
+
+
+class TestMergeUpsertNullKeys:
+    def test_null_source_key_still_wins(self, spark):
+        from keras_ocr_spark.operators.merge import merge_upsert
+
+        target = spark.createDataFrame([(None, "old"), (1, "t1")], "id long, text string")
+        source = spark.createDataFrame([(None, "new")], "id long, text string")
+        got = {r["id"]: r["text"] for r in merge_upsert(target, source, ["id"]).collect()}
+        assert got == {None: "new", 1: "t1"}
+
+
+class TestTableDiffDigestSafety:
+    def test_no_separator_shift_collision(self, spark):
+        from keras_ocr_spark.operators.merge import table_diff
+
+        a = spark.createDataFrame([(1, "a\x1fb", "c")], "id long, x string, y string")
+        b = spark.createDataFrame([(1, "a", "b\x1fc")], "id long, x string, y string")
+        got = [r["status"] for r in table_diff(a, b, ["id"]).collect()]
+        assert got == ["changed"]
+
+
+class TestCogroupNullKey:
+    def test_null_key_group_survives(self, spark):
+        from keras_ocr_spark.operators.cogroup import cogroup_user_activity
+
+        ev = spark.createDataFrame([(None, 2.0), (1, 1.0)], "user_id long, value double")
+        orders = spark.createDataFrame([(1, 5.0)], "o_custkey long, o_totalprice double")
+        rows = cogroup_user_activity(ev, orders).collect()
+        by_key = {r["user_id"]: r for r in rows}
+        assert None in by_key and by_key[None]["n_events"] == 1
+        assert by_key[1]["n_orders"] == 1

@@ -98,7 +98,12 @@ def test_spark_submit_curate_job(spark, tmp_path):
 
     s1 = run()
     assert s1["n_in"] == 500
-    assert 0 < s1["n_kept"] <= 500 - s1["near_dup_pairs"] // 1  # keepers drop >= 0 dups
+    # pairs count EDGES (a cyclic 3-cluster has 3 edges, drops 2 docs),
+    # so the only sound bounds are 0 < kept <= n_in, and strictly
+    # fewer than n_in whenever any near-dup pair exists.
+    assert 0 < s1["n_kept"] <= 500
+    if s1["near_dup_pairs"] > 0:
+        assert s1["n_kept"] < 500
     assert s1["kept_tokens"] > 0
     s2 = run()  # idempotent re-run
     assert s2 == s1
