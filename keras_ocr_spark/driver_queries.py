@@ -3049,3 +3049,86 @@ def q_salted_join_events(spark, sf_dir):
         F.col("c_mktsegment").alias("segment"),
         pround(F.col("value"), 2).alias("value"),
     )
+
+
+@register(
+    "dedup_best_keeper",
+    f"""
+    WITH RECURSIVE
+    sh0 AS ({_SHINGLES_SQL}),
+    digs AS (
+      SELECT id, list_transform(shingles, s -> md5(s) || md5(s || '#')) AS digests
+      FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature FROM digs),
+    bands AS (
+      SELECT id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= CAST(0.5 AS DOUBLE)),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+    resolved AS (
+      SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+    feats AS (
+      SELECT doc_id AS id, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             {_lang_score_sql(TS.LANG_MARKERS["en"])} AS stop_hits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents),
+    scored AS (
+      SELECT id,
+             CAST(floor((least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                      + least((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                      + (CAST(1.0 AS DOUBLE) - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE))
+                   * 1000000 + 0.5) / 1000000 AS DOUBLE) AS quality
+      FROM feats),
+    ranked AS (
+      SELECT r.keeper_id, r.id,
+             row_number() OVER (PARTITION BY r.keeper_id ORDER BY s.quality DESC, r.id) AS rk
+      FROM resolved r JOIN scored s ON s.id = r.id),
+    best AS (SELECT keeper_id, id AS best_id FROM ranked WHERE rk = 1),
+    sizes2 AS (SELECT keeper_id, count(*) AS cluster_size FROM resolved GROUP BY keeper_id)
+    SELECT CAST(r.id AS BIGINT) AS id,
+           CAST(r.keeper_id AS BIGINT) AS keeper_id,
+           CAST(z.cluster_size AS BIGINT) AS cluster_size,
+           CAST(b.best_id AS BIGINT) AS best_id,
+           (r.id = b.best_id) AS is_best
+    FROM resolved r JOIN best b ON b.keeper_id = r.keeper_id
+    JOIN sizes2 z ON z.keeper_id = r.keeper_id
+    """,
+)
+def q_dedup_best_keeper(spark, sf_dir):
+    """Quality-aware keeper election: clusters from the same
+    LSH→Jaccard→closure flow, but each cluster keeps its HIGHEST-
+    QUALITY member (rounded quality, id-ascending tie-break) — what a
+    curation pipeline actually wants when near-dups differ in
+    extraction cleanliness. One max_by aggregation per cluster (partial
+    agg shrinks the shuffle to one row per cluster)."""
+    from .operators.clusters import best_keeper, resolve_duplicates
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    resolved = resolve_duplicates(docs, pairs, id_col="doc_id")
+    quality = TS.quality_scores(docs).select("id", "quality")
+    out = best_keeper(resolved, quality, "quality")
+    return out.select(_b("id"), _b("keeper_id"), _b("cluster_size"), _b("best_id"), "is_best")

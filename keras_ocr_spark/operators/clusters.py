@@ -163,3 +163,40 @@ def resolve_duplicates(
         "cluster_size",
         (F.col("id") == F.col("keeper_id")).alias("is_keeper"),
     )
+
+
+def best_keeper(
+    resolved: DataFrame,
+    priority: DataFrame,
+    priority_col: str = "quality",
+) -> DataFrame:
+    """Quality-aware keeper selection: re-elect each cluster's keeper
+    as the member with the HIGHEST ``priority_col`` (id ascending as
+    the tie-break) instead of the minimum id.
+
+    A real curation pipeline keeps the best near-duplicate, not the
+    numerically smallest one — the cleanest extraction of a re-crawled
+    page, the longest of two truncations. Input: the output of
+    :func:`resolve_duplicates` (``id, keeper_id, cluster_size,
+    is_keeper``) plus a ``(id, priority_col)`` frame. One join + one
+    ``max_by`` aggregation keyed by the cluster (partial aggregation
+    shrinks the shuffle to one row per cluster); the min-id
+    ``keeper_id`` stays as the stable CLUSTER LABEL, while
+    ``best_id``/``is_best`` carry the election.
+
+    Output: (id, keeper_id, cluster_size, best_id, is_best).
+    """
+    scored = resolved.join(priority.select("id", priority_col), "id")
+    best = scored.groupBy("keeper_id").agg(
+        F.max_by("id", F.struct(F.col(priority_col), (-F.col("id")).alias("_nid"))).alias("best_id")
+    )
+    return (
+        resolved.join(best, "keeper_id")
+        .select(
+            "id",
+            "keeper_id",
+            "cluster_size",
+            "best_id",
+            (F.col("id") == F.col("best_id")).alias("is_best"),
+        )
+    )

@@ -103,3 +103,34 @@ class TestResolveDuplicates:
     def test_nonconvergence_backstop_raises(self, spark):
         with pytest.raises(RuntimeError, match="did not converge"):
             connected_components(_pairs_df(spark, [(i, i + 1) for i in range(40)]), max_iterations=1)
+
+
+class TestBestKeeper:
+    def test_highest_quality_wins(self, spark):
+        from pyspark.sql import functions as F
+
+        from keras_ocr_spark.operators.clusters import best_keeper, resolve_duplicates
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+        resolved = resolve_duplicates(docs, pairs, id_col="doc_id")
+        quality = spark.createDataFrame(
+            [(1, 0.2), (2, 0.9), (3, 0.5), (4, 0.1), (5, 0.1)], "id long, quality double"
+        )
+        out = {r["id"]: r for r in best_keeper(resolved, quality).collect()}
+        # cluster {1,2,3}: label stays min id 1, best member is 2.
+        for i in (1, 2, 3):
+            assert out[i]["keeper_id"] == 1 and out[i]["best_id"] == 2
+        assert out[2]["is_best"] and not out[1]["is_best"]
+        # singletons elect themselves.
+        assert out[4]["best_id"] == 4 and out[4]["is_best"]
+
+    def test_tie_breaks_to_lowest_id(self, spark):
+        from keras_ocr_spark.operators.clusters import best_keeper, resolve_duplicates
+
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        resolved = resolve_duplicates(docs, pairs, id_col="doc_id")
+        quality = spark.createDataFrame([(1, 0.5), (2, 0.5)], "id long, quality double")
+        out = {r["id"]: r for r in best_keeper(resolved, quality).collect()}
+        assert out[1]["best_id"] == 1 and out[2]["best_id"] == 1
