@@ -3132,3 +3132,47 @@ def q_dedup_best_keeper(spark, sf_dir):
     quality = TS.quality_scores(docs).select("id", "quality")
     out = best_keeper(resolved, quality, "quality")
     return out.select(_b("id"), _b("keeper_id"), _b("cluster_size"), _b("best_id"), "is_best")
+
+
+@register(
+    "csv_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id,
+           text || ', "quoted, comma" and a
+newline tail ' || CAST(doc_id AS VARCHAR) AS text,
+           lang
+    FROM documents
+    """,
+)
+def q_csv_roundtrip(spark, sf_dir):
+    """CSV source fidelity under HOSTILE content: every doc's text is
+    first augmented (identically in both engines) with embedded
+    commas, double quotes and a literal NEWLINE, written as CSV
+    (Spark quotes/escapes as needed) and read back with an explicit
+    schema + multiLine (quoted newlines span physical lines — the
+    option a naive 100 TB CSV reader gets wrong, silently splitting
+    rows). The oracle builds the same augmented text from parquet, so
+    the hash match proves escaping round-trips byte-exactly."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/docs_csv_{tag}"
+    aug = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"),
+        F.concat(
+            F.col("text"),
+            F.lit(', "quoted, comma" and a\nnewline tail '),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+        "lang",
+    )
+    if not (_P(path) / "_SUCCESS").exists():
+        aug.write.mode("overwrite").option("header", "true").csv(path)
+    out = (
+        spark.read.schema("id long, text string, lang string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .csv(path)
+    )
+    return out.select(_b("id"), "text", "lang")
