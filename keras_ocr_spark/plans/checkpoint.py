@@ -252,3 +252,28 @@ def read_manifests(out_dir: str) -> Iterable[dict]:
     mdir = Path(out_dir) / MANIFEST_DIR
     for p in sorted(mdir.glob("bucket-*.json")):
         yield json.loads(p.read_text())
+
+
+def read_committed(spark: SparkSession, out_dir: str, fingerprint: Optional[str] = None):
+    """CONSISTENT READ of a checkpointed output: only buckets whose
+    manifests attest completion (optionally pinned to one lineage
+    ``fingerprint``) — a consumer mid-job never sees the staging files
+    of a bucket whose manifest hasn't committed, which is exactly the
+    snapshot-isolation read an Iceberg table gives for free and plain
+    parquet does not.
+
+    The bucket list becomes partition PRUNING on the scan (bucket is
+    the physical partition key), so reading k of n committed buckets
+    touches k directories. Returns None when nothing is committed yet
+    (there is no schema to offer)."""
+    committed = []
+    for m in read_manifests(out_dir):
+        if m.get("status") != "complete":
+            continue
+        if fingerprint is not None and m.get("fingerprint") != fingerprint:
+            continue
+        committed.append(int(m["bucket"]))
+    if not committed:
+        return None
+    df = spark.read.option("basePath", out_dir).parquet(out_dir)
+    return df.filter(F.col("bucket").isin(committed))

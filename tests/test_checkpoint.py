@@ -155,3 +155,39 @@ def test_empty_input_commits_zero_row_manifests(spark, tmp_path):
     # Resume over the zero-row manifests: everything is skipped.
     summary2 = run_with_checkpoints(spark, empty_path, out, n_buckets=4)
     assert summary2["buckets_run"] == [] and len(summary2["buckets_skipped"]) == 4
+
+
+def test_read_committed_excludes_uncommitted_bucket(spark, tmp_path):
+    """A crash between data write and manifest commit leaves a bucket
+    dir with no manifest; read_committed must not expose it, and the
+    committed-bucket filter must reach the scan as partition pruning."""
+    import json
+    from pathlib import Path
+
+    from keras_ocr_spark.plans.checkpoint import MANIFEST_DIR, read_committed, run_with_checkpoints
+    from keras_ocr_spark.sources.transcripts import generate_pandas
+
+    inp = str(tmp_path / "in.parquet")
+    pdf = generate_pandas(n_convs=12, make_skewed=False)
+    spark.createDataFrame(
+        pdf, schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    ).write.parquet(inp)
+    out = str(tmp_path / "out")
+    run_with_checkpoints(spark, input_path=inp, out_dir=out, n_buckets=3)
+
+    all_rows = read_committed(spark, out).count()
+    assert all_rows == len(pdf)
+
+    # Simulate the crash window: delete ONE bucket's manifest — its
+    # data files remain but are now unattested.
+    manifests = sorted(Path(out, MANIFEST_DIR).glob("bucket-*.json"))
+    dropped = json.loads(manifests[0].read_text())
+    manifests[0].unlink()
+    got = read_committed(spark, out)
+    assert got.count() == all_rows - dropped["rows"]
+    assert got.filter(f"bucket = {dropped['bucket']}").count() == 0
+
+    # empty dir -> None (no schema to offer)
+    empty = str(tmp_path / "empty_out")
+    Path(empty, MANIFEST_DIR).mkdir(parents=True)
+    assert read_committed(spark, empty) is None
