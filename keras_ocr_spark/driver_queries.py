@@ -1095,6 +1095,68 @@ def q_ann_topk_ivf(spark, sf_dir):
     return out.select(F.col("id").cast("long").alias("id"), F.col("qdot").cast("long").alias("qdot"))
 
 
+@register(
+    "ann_topk_ivf_trained",
+    f"""
+    WITH cent0 AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+    vecs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id <> 0),
+    assigned0 AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_qdot_sql("embedding", "centroid")} DESC, centroid_id) AS rn
+      FROM vecs, cent0),
+    cells0 AS (SELECT vec_id, embedding, centroid_id AS cell FROM assigned0 WHERE rn = 1),
+    comp AS (
+      SELECT cell, i AS pos,
+             floor(CAST(SUM(CAST(round(CAST(embedding[i] AS DOUBLE) * 1000) AS BIGINT)) AS DOUBLE)
+                   / COUNT(*)) / 1000 AS c
+      FROM cells0, range(1, 65) t(i)
+      GROUP BY cell, i),
+    cent AS (
+      SELECT c0.centroid_id,
+             COALESCE(n.centroid, CAST(c0.centroid AS DOUBLE[])) AS centroid
+      FROM cent0 c0 LEFT JOIN (
+        SELECT cell AS centroid_id, list(c ORDER BY pos) AS centroid
+        FROM comp GROUP BY cell) n USING (centroid_id)),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY {_qdot_sql("embedding", "centroid")} DESC, centroid_id) AS rn
+      FROM vecs, cent),
+    cells AS (SELECT vec_id, embedding, centroid_id AS cell FROM assigned WHERE rn = 1),
+    q AS (SELECT embedding AS q_embedding FROM embeddings WHERE vec_id = 0),
+    qcells AS (
+      SELECT centroid_id AS cell
+      FROM cent, q
+      ORDER BY {_qdot_sql("q_embedding", "centroid")} DESC, centroid_id LIMIT 2)
+    SELECT CAST(v.vec_id AS BIGINT) AS id,
+           CAST({_qdot_sql("v.embedding", "q.q_embedding")} AS BIGINT) AS qdot
+    FROM cells v JOIN qcells ON v.cell = qcells.cell, q
+    ORDER BY qdot DESC, id LIMIT 10
+    """,
+)
+def q_ann_topk_ivf_trained(spark, sf_dir):
+    """IVF ANN over a DATA-DERIVED codebook (r3 verdict Next #5): one
+    Lloyd iteration refines the 16 seed centroids — assign is the
+    zero-shuffle argmax projection, update is a per-(cell, dim)
+    quantized-integer mean (floor(sum(round(v*1000))/n)/1000), exact in
+    both engines — then probe nprobe=2 cells and score candidates with
+    integer-quantized dots. Empty cells keep their seed centroid. At
+    100 TB the refinement runs over a sample and the final assignment
+    is the same argmax projection used at ingest."""
+    emb = _emb(spark, sf_dir)
+    seed = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    vecs = emb.filter(F.col("vec_id") != 0)
+    trained = S.kmeans_refine(vecs, seed, n_iters=1)
+    qdf = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_embedding"))
+    out = S.ivf_topk(vecs, trained, qdf, k=10, nprobe=2)
+    return out.select(F.col("id").cast("long").alias("id"), F.col("qdot").cast("long").alias("qdot"))
+
+
 # ==========================================================================
 # 5. Text analysis (training-data curation)
 # ==========================================================================
@@ -3176,3 +3238,82 @@ def q_csv_roundtrip(spark, sf_dir):
         .csv(path)
     )
     return out.select(_b("id"), "text", "lang")
+
+
+# ==========================================================================
+# Driver-window ordering
+# ==========================================================================
+# The round driver attests only the FIRST 50 registry entries (in dict
+# insertion order) in CORRECTNESS_r{N}.json.  Rounds 1-3 left 34 queries
+# permanently outside that window, so the registry is re-keyed here:
+# never-attested queries first (plus anything newly registered this
+# round), then the always-green anchors.  Every entry still runs in the
+# local full gate (scripts/check_oracles.py checks all of them); this
+# block only changes which 50 the driver's snapshot sees.  Rotate next
+# round so CORRECTNESS_r04 ∪ CORRECTNESS_r05 covers the whole registry.
+
+_R3_ATTESTED = [
+    "ordering_window",
+    "running_offset",
+    "runlength_segments",
+    "range_frame_totals",
+    "percentiles_by_brand",
+    "ntile_quartiles",
+    "group_max_filter",
+    "having_count",
+    "anti_join_customers",
+    "semi_join_customers",
+    "interval_join_events",
+    "levenshtein_pairs",
+    "union_limit",
+    "intersect_nations",
+    "scalar_subquery_above_avg",
+    "topk_argmax",
+    "uniqueness_check",
+    "broadcast_config_lookup",
+    "distinct_segments",
+    "decode_chain",
+    "extract_documents",
+    "conversation_rollup",
+    "pdf_extract_pipeline",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_resolve",
+    "dedup_simhash",
+    "simhash_near_pairs",
+    "ann_topk_quantized",
+    "ann_cosine_topk",
+    "ann_topk_ivf",
+    "lang_scores",
+    "quality_scores",
+    "token_counts",
+    "doc_fingerprint",
+    "normalize_clip",
+    "combine_line",
+    "sha256_manifest",
+    "salted_user_stats",
+    "sessionize_stateful",
+    "curate_corpus",
+    "bm25_search",
+    "asof_join_events",
+    "sample_documents",
+    "profile_documents",
+    "stream_windowed_counts",
+    "rollup_lineitem",
+    "cube_orders",
+    "grouping_sets_events",
+]
+
+
+def _reorder_for_driver_window() -> None:
+    attested = [n for n in _R3_ATTESTED if n in QUERIES]
+    front = [n for n in QUERIES if n not in set(attested)]
+    ordered = front + attested
+    assert set(ordered) == set(QUERIES)
+    reordered = {n: QUERIES[n] for n in ordered}
+    QUERIES.clear()
+    QUERIES.update(reordered)
+
+
+_reorder_for_driver_window()

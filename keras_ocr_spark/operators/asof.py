@@ -48,18 +48,24 @@ def asof_join(
     keys = list(keys)
     payload = [f"{v}{suffix}" for v in right_vals]
     l_tagged = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
+    # ALL payload columns ride in ONE struct: F.struct(...) is non-null
+    # as a VALUE even when every field inside is NULL, so
+    # last(ignorenulls) selects the latest matching right ROW atomically
+    # — a matched row whose payload value is genuinely NULL yields NULL
+    # (DuckDB ASOF semantics), never an older row's value, and multiple
+    # payload columns always come from the SAME right row. (Carrying
+    # each column separately with last(col, ignorenulls=True) got both
+    # of those wrong for null payloads.)
     r_tagged = right.select(
         *keys,
         F.col(right_ts).alias("_ats"),
         F.lit(0).alias("_side"),
-        *[F.col(v).alias(p) for v, p in zip(right_vals, payload)],
+        F.struct(*[F.col(v).alias(p) for v, p in zip(right_vals, payload)]).alias("_asof_p"),
     )
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     w = W.partitionBy(*keys).orderBy("_ats", "_side").rowsBetween(W.unboundedPreceding, 0)
-    carried = merged.select(
-        "*", *[F.last(p, ignorenulls=True).over(w).alias(f"_c_{p}") for p in payload]
-    )
+    carried = merged.select("*", F.last("_asof_p", ignorenulls=True).over(w).alias("_c"))
     out = carried.filter(F.col("_side") == 1)
     for p in payload:
-        out = out.withColumn(p, F.col(f"_c_{p}")).drop(f"_c_{p}")
-    return out.drop("_ats", "_side")
+        out = out.withColumn(p, F.col(f"_c.{p}"))
+    return out.drop("_c", "_asof_p", "_ats", "_side")

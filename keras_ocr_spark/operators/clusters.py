@@ -186,17 +186,25 @@ def best_keeper(
 
     Output: (id, keeper_id, cluster_size, best_id, is_best).
     """
-    scored = resolved.join(priority.select("id", priority_col), "id")
+    # LEFT joins throughout (r3 ADVICE): a document absent from the
+    # priority frame scores NULL, which sorts below every non-null
+    # priority in the max_by struct ordering — "missing = lowest
+    # priority" — instead of being silently dropped from the output.
+    # Ties among all-missing clusters fall through to the -id field
+    # (lowest id wins), and coalesce(best_id, keeper_id) keeps the
+    # contract that every input row appears exactly once even if the
+    # aggregation ever yields no row for a cluster.
+    scored = resolved.join(priority.select("id", priority_col), "id", "left")
     best = scored.groupBy("keeper_id").agg(
         F.max_by("id", F.struct(F.col(priority_col), (-F.col("id")).alias("_nid"))).alias("best_id")
     )
     return (
-        resolved.join(best, "keeper_id")
+        resolved.join(best, "keeper_id", "left")
         .select(
             "id",
             "keeper_id",
             "cluster_size",
-            "best_id",
-            (F.col("id") == F.col("best_id")).alias("is_best"),
+            F.coalesce("best_id", "keeper_id").alias("best_id"),
+            (F.col("id") == F.coalesce("best_id", "keeper_id")).alias("is_best"),
         )
     )

@@ -147,9 +147,19 @@ def minhash_signatures(
     def _sig(texts: pd.Series) -> pd.Series:
         return texts.map(_one)
 
-    return (
-        df.select(F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature"))
-        .filter(F.col("signature").isNotNull())
+    # Null-signature rows are excluded by filtering the kernel's exact
+    # null PREcondition on the raw input (text null / fewer than k
+    # words), never on the UDF's own output: a filter on _sig's output
+    # gets pushed below an upstream exchange by Catalyst and duplicates
+    # the ArrowEvalPython node — the plan then evaluates every signature
+    # TWICE (observed in PLANS.md r3: python=2 under dedup_minhash_lsh).
+    # tests/test_plan_shape.py pins python==1 for this subtree.
+    eligible = df.filter(
+        F.col(text_col).isNotNull()
+        & (F.size(F.split(F.col(text_col), " ", -1)) >= k)
+    )
+    return eligible.select(
+        F.col(id_col).alias("id"), _sig(F.col(text_col)).alias("signature")
     )
 
 
@@ -201,9 +211,15 @@ def lsh_candidate_pairs(
     rows_per_band: int = 4,
     max_bucket_size: int | None = None,
     return_dropped: bool = False,
-) -> DataFrame:
+) -> "DataFrame | tuple[DataFrame, DataFrame | None]":
     """MinHash LSH: band the signature, bucket on (band_idx, band_key),
     expand pairs within each bucket.
+
+    Returns the candidate-pair DataFrame ``(id_a, id_b)``; with
+    ``return_dropped=True`` returns a ``(pairs, dropped)`` TUPLE where
+    ``dropped`` is the ``(band_idx, band_key, bucket_size)`` frame of
+    cap-removed buckets, or ``None`` when ``max_bucket_size`` is None
+    (no cap -> nothing can be dropped).
 
     ONE shuffle (the bucket groupBy) and the signature stage runs ONCE —
     a band self-join would recompute the whole expensive signature

@@ -54,34 +54,53 @@ def with_global_cumsum(
 
     The input is touched three times (quantile sample, per-bucket
     totals, the output job). It is persisted for the two driver-side
-    actions and UNPERSISTED before returning — the output job then
+    actions and UNPERSISTED (in a ``finally``, so a failing action
+    cannot leak the cache entry) before returning — the output job then
     recomputes the input once (2 upstream computations total instead
     of 3 uncached), but repeated calls cannot leak cache entries for
     the session lifetime. Callers should pass the NARROW projection
-    (order cols + value col only) so the cached pass is cheap."""
+    (order cols + value col only) so the cached pass is cheap.
+
+    The input must be DETERMINISTIC under recomputation: the collected
+    per-bucket totals come from the cached pass, while the output job
+    recomputes the frame after unpersist — a nondeterministic upstream
+    (``sample()`` without a seed, ``monotonically_increasing_id``,
+    ``rand``) can silently disagree with the offsets. Enforced
+    structurally: nondeterministic Spark expressions make the plan's
+    ``deterministic`` flag false, which we assert here."""
+    if not df._jdf.queryExecution().analyzed().deterministic():
+        raise ValueError(
+            "with_global_cumsum requires a deterministic input frame: "
+            "the per-bucket totals are collected from one computation "
+            "and the output job recomputes the input — nondeterministic "
+            "expressions (rand/sample/monotonically_increasing_id) would "
+            "silently produce wrong offsets"
+        )
     df = df.persist()
     spark = df.sparkSession
     n_range = n_range_buckets or spark.sparkContext.defaultParallelism
     lead = F.col(order_cols[0]).cast("double")
-    splits: list[float] = []
-    if n_range > 1:
-        qs = [i / n_range for i in range(1, n_range)]
-        got = df.select(lead.alias("_v")).approxQuantile("_v", qs, 0.001)
-        splits = sorted(set(got))
-    staged = df.withColumn("_rb", _range_bucket_expr(lead, splits))
+    try:
+        splits: list[float] = []
+        if n_range > 1:
+            qs = [i / n_range for i in range(1, n_range)]
+            got = df.select(lead.alias("_v")).approxQuantile("_v", qs, 0.001)
+            splits = sorted(set(got))
+        staged = df.withColumn("_rb", _range_bucket_expr(lead, splits))
+        totals = {
+            int(r["_rb"]): int(r["s"])
+            for r in staged.groupBy("_rb")
+            .agg(F.coalesce(F.sum(F.col(value_col).cast("long")), F.lit(0)).alias("s"))
+            .collect()
+        }
+    finally:
+        df.unpersist()
     w = (
         W.partitionBy("_rb")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
     local = staged.withColumn("_lc", F.sum(F.col(value_col).cast("long")).over(w))
-    totals = {
-        int(r["_rb"]): int(r["s"])
-        for r in staged.groupBy("_rb")
-        .agg(F.coalesce(F.sum(F.col(value_col).cast("long")), F.lit(0)).alias("s"))
-        .collect()
-    }
-    df.unpersist()
     offsets, acc = {}, 0
     for b in sorted(totals):
         offsets[b] = acc

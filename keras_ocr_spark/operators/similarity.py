@@ -329,6 +329,72 @@ def ivf_assign(
     )
 
 
+def kmeans_refine(
+    df: DataFrame,
+    centroids: DataFrame,
+    n_iters: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    scale: int = VEC_SCALE,
+) -> DataFrame:
+    """Data-derived IVF codebook: ``n_iters`` Lloyd iterations over the
+    seed ``centroids`` (centroid_id, centroid), k-means-lite as pure
+    DataFrame aggregations (r3 verdict Next #5 — the reference's
+    closest analog is its training loop, which learns from data;
+    seed-only centroids misrepresent real IVF recall).
+
+    Each iteration: **assign** = the existing zero-shuffle
+    :func:`ivf_assign` argmax projection; **update** = posexplode the
+    assigned vectors and take per-(cell, dim) means in QUANTIZED integer
+    arithmetic — component :math:`floor(\\sum round(v \\cdot s) / n) / s`
+    — so the refined centroids are bit-identical in Spark and DuckDB
+    (both compute the same BIGINT sum, exact-double division and floor)
+    and downstream ``ann_topk_ivf_trained`` stays value-hash
+    oracle-exact. A cell that captures no vectors keeps its previous
+    centroid (left join + coalesce), as standard k-means does.
+
+    Scale: assignment is map-only; the update shuffles N x dim
+    (cell, pos) rows into at most k x dim groups with full map-side
+    partial aggregation. Codebook training at 100 TB runs on a SAMPLE
+    by construction (as every IVF build does) — pass the sampled frame;
+    the full-corpus assignment afterwards is the zero-shuffle argmax.
+    """
+    cents = centroids
+    for _ in range(int(n_iters)):
+        assigned = ivf_assign(df, cents, id_col, vec_col)
+        comp = (
+            assigned.select("cell", F.posexplode("vec").alias("pos", "v"))
+            .groupBy("cell", "pos")
+            .agg(
+                (
+                    F.floor(
+                        F.sum(F.round(F.col("v").cast("double") * scale).cast("long")).cast("double")
+                        / F.count(F.lit(1))
+                    )
+                    / scale
+                ).alias("c")
+            )
+        )
+        new_cents = (
+            comp.groupBy("cell")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "c"))), lambda s: s["c"]
+                ).alias("centroid")
+            )
+            .select(F.col("cell").alias("centroid_id"), "centroid")
+        )
+        cents = (
+            cents.alias("old")
+            .join(new_cents.alias("new"), "centroid_id", "left")
+            .select(
+                "centroid_id",
+                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"),
+            )
+        )
+    return cents
+
+
 def ivf_topk(
     df: DataFrame,
     centroids: DataFrame,
@@ -400,6 +466,18 @@ def all_pairs_above(
         F.col(vec_col).alias("vec"),
         bucket.alias("bucket"),
     )
+    if fast:
+        # Materialize the bucketed projection ONCE before self-joining:
+        # a self-join over a pandas-UDF projection re-evaluates the
+        # Arrow node on both sides, and Catalyst's filter pushdown can
+        # double each side again (r3 PLANS.md measured python=4 for one
+        # logical kernel column). A lazy localCheckpoint truncates the
+        # lineage so both join branches scan the same materialized
+        # blocks — kernel evaluated exactly once (pinned in
+        # tests/test_plan_shape.py). At full 100 TB scale, prefer the
+        # compute-once persisted path (:func:`write_bucketed_store`);
+        # this keeps the inline query honest at bench scale.
+        bucketed = bucketed.localCheckpoint(eager=False)
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     va = F.transform(F.col("a.vec"), lambda x: x.cast("double"))

@@ -265,15 +265,29 @@ def read_committed(spark: SparkSession, out_dir: str, fingerprint: Optional[str]
     The bucket list becomes partition PRUNING on the scan (bucket is
     the physical partition key), so reading k of n committed buckets
     touches k directories. Returns None when nothing is committed yet
-    (there is no schema to offer)."""
+    OR when every committed bucket attests rows=0 (a rows=0 commit
+    writes no parquet files, so there is no schema on disk to offer —
+    schema inference over zero files would raise). Mirrors
+    :func:`completed_buckets`' dir-existence rule: a rows>0 manifest
+    whose bucket directory a later re-layout deleted is NOT readable
+    and is excluded here too."""
     committed = []
+    any_rows = False
     for m in read_manifests(out_dir):
         if m.get("status") != "complete":
             continue
         if fingerprint is not None and m.get("fingerprint") != fingerprint:
             continue
-        committed.append(int(m["bucket"]))
-    if not committed:
+        bucket = int(m["bucket"])
+        rows = int(m.get("rows", 0))
+        # same guard as completed_buckets: the manifest only attests
+        # data still on disk (alternating n_buckets layouts can delete
+        # a bucket dir while its manifest survives).
+        if rows > 0 and not (Path(out_dir) / f"bucket={bucket}").is_dir():
+            continue
+        any_rows = any_rows or rows > 0
+        committed.append(bucket)
+    if not committed or not any_rows:
         return None
     df = spark.read.option("basePath", out_dir).parquet(out_dir)
     return df.filter(F.col("bucket").isin(committed))

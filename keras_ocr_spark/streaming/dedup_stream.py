@@ -35,6 +35,8 @@ from typing import Sequence
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .state import use_rocksdb_state
+
 
 def dedup_within_watermark(
     stream: DataFrame,
@@ -52,6 +54,7 @@ def dedup_within_watermark(
     """
     cols = list(keys)
     if stream.isStreaming:
+        use_rocksdb_state(stream.sparkSession)
         return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(cols)
     return stream.dropDuplicates(cols)
 

@@ -24,6 +24,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .state import use_rocksdb_state
+
 
 def attribution_join(
     clicks: DataFrame,
@@ -35,6 +37,8 @@ def attribution_join(
     ``window_minutes`` after the click. On streaming frames both sides
     carry watermarks (bounded join state); on batch frames the same
     plan is a plain equi+range join (watermark is a no-op)."""
+    if clicks.isStreaming or purchases.isStreaming:
+        use_rocksdb_state(clicks.sparkSession)
     c = clicks.select(
         F.col("user_id").alias("c_user"),
         F.col("event_id").alias("click_event_id"),

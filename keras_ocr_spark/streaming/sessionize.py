@@ -31,6 +31,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state import use_rocksdb_state
+
 SESSION_SCHEMA = (
     "user_id bigint, session_start_us bigint, session_end_us bigint, "
     "n_events bigint, total_value double"
@@ -85,6 +87,8 @@ def sessionize_stream(
     closes it, or when the user goes quiet for ``timeout_ms`` of
     processing time (the state-store flush).
     """
+    if events.isStreaming:
+        use_rocksdb_state(events.sparkSession)
     slim = events.select(
         F.col("user_id").cast("long").alias("user_id"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),

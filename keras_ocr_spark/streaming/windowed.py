@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .state import use_rocksdb_state
+
 
 def windowed_event_counts(
     events: DataFrame,
@@ -40,6 +42,7 @@ def windowed_event_counts(
     degrades to a plain windowed groupBy (watermark is a no-op)."""
     src = events
     if events.isStreaming:
+        use_rocksdb_state(events.sparkSession)
         src = events.withWatermark(ts_col, f"{watermark_minutes} minutes")
     return (
         src.groupBy(F.window(ts_col, f"{window_minutes} minutes"), "event_type")

@@ -191,3 +191,38 @@ def test_read_committed_excludes_uncommitted_bucket(spark, tmp_path):
     empty = str(tmp_path / "empty_out")
     Path(empty, MANIFEST_DIR).mkdir(parents=True)
     assert read_committed(spark, empty) is None
+
+
+def test_read_committed_rows0_and_deleted_dir_edges(spark, tmp_path):
+    """r3 ADVICE edges: (a) manifests attesting ONLY rows=0 buckets
+    (empty input) have no parquet files on disk — read_committed must
+    return None, not raise schema-inference AnalysisException; (b) a
+    rows>0 manifest whose bucket directory was deleted by a re-layout
+    must be excluded, same rule as completed_buckets."""
+    import shutil
+    from pathlib import Path
+
+    from keras_ocr_spark.plans.checkpoint import read_committed, read_manifests, run_with_checkpoints
+    from keras_ocr_spark.sources.transcripts import generate_pandas
+
+    # (a) empty input: 4 committed rows=0 manifests, zero data files
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    empty_in = str(tmp_path / "empty_in.parquet")
+    spark.createDataFrame([], schema=schema).write.parquet(empty_in)
+    out0 = str(tmp_path / "out0")
+    run_with_checkpoints(spark, input_path=empty_in, out_dir=out0, n_buckets=4)
+    assert all(m["rows"] == 0 for m in read_manifests(out0))
+    assert read_committed(spark, out0) is None  # was: AnalysisException
+
+    # (b) real data, then delete one rows>0 bucket dir out from under
+    # its surviving manifest
+    inp = str(tmp_path / "in.parquet")
+    pdf = generate_pandas(n_convs=12, make_skewed=False)
+    spark.createDataFrame(pdf, schema=schema).write.parquet(inp)
+    out = str(tmp_path / "out")
+    run_with_checkpoints(spark, input_path=inp, out_dir=out, n_buckets=3)
+    victim = next(m for m in read_manifests(out) if m["rows"] > 0)
+    shutil.rmtree(Path(out) / f"bucket={victim['bucket']}")
+    got = read_committed(spark, out)
+    assert got.filter(f"bucket = {victim['bucket']}").count() == 0
+    assert got.count() == len(pdf) - victim["rows"]

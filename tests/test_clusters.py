@@ -134,3 +134,35 @@ class TestBestKeeper:
         quality = spark.createDataFrame([(1, 0.5), (2, 0.5)], "id long, quality double")
         out = {r["id"]: r for r in best_keeper(resolved, quality).collect()}
         assert out[1]["best_id"] == 1 and out[2]["best_id"] == 1
+
+    def test_missing_priority_rows_are_lowest_not_dropped(self, spark):
+        """r3 ADVICE: a document (or whole cluster) absent from the
+        priority frame must still appear in the output — missing scores
+        rank below every scored member, and an all-missing cluster
+        falls back to the lowest id."""
+        from keras_ocr_spark.operators.clusters import best_keeper, resolve_duplicates
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2), (4, 5)], "id_a long, id_b long")
+        resolved = resolve_duplicates(docs, pairs, id_col="doc_id")
+        # doc 2 scored higher than 1; cluster {4,5} and singletons 3, 6
+        # entirely MISSING from the priority frame.
+        quality = spark.createDataFrame([(1, 0.2), (2, 0.9)], "id long, quality double")
+        out = {r["id"]: r for r in best_keeper(resolved, quality).collect()}
+        assert set(out) == {1, 2, 3, 4, 5, 6}  # every input row present
+        assert out[1]["best_id"] == 2 and out[2]["is_best"]
+        # all-missing cluster: lowest id elected deterministically
+        assert out[4]["best_id"] == 4 and out[5]["best_id"] == 4
+        assert out[3]["best_id"] == 3 and out[3]["is_best"]
+        assert out[6]["best_id"] == 6 and out[6]["is_best"]
+
+    def test_scored_vs_missing_mix_in_one_cluster(self, spark):
+        from keras_ocr_spark.operators.clusters import best_keeper, resolve_duplicates
+
+        docs = spark.createDataFrame([(1,), (2,)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        resolved = resolve_duplicates(docs, pairs, id_col="doc_id")
+        # id 1 missing, id 2 scored LOW: any score beats missing.
+        quality = spark.createDataFrame([(2, 0.01)], "id long, quality double")
+        out = {r["id"]: r for r in best_keeper(resolved, quality).collect()}
+        assert out[1]["best_id"] == 2 and out[2]["best_id"] == 2

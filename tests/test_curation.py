@@ -151,6 +151,30 @@ class TestPacking:
         df = self._toks(spark, [])
         assert P.pack_chunks(df, "n_tokens", ["id"], 8).count() == 0
 
+    def test_nondeterministic_input_rejected(self, spark):
+        """r3 ADVICE: the collected per-bucket totals and the output job
+        compute the input TWICE — a nondeterministic frame could
+        silently disagree with its own offsets, so it must be refused
+        up front."""
+        df = self._toks(spark, [1, 2, 3]).withColumn("r", F.rand())
+        with pytest.raises(ValueError, match="deterministic"):
+            P.with_global_cumsum(df, "n_tokens", ["id"], "cs")
+        # nested nondeterminism (below a filter) is caught too
+        df2 = self._toks(spark, [1, 2, 3]).withColumn("r", F.rand()).filter("n_tokens > 0")
+        with pytest.raises(ValueError, match="deterministic"):
+            P.with_global_cumsum(df2, "n_tokens", ["id"], "cs")
+
+    def test_unpersist_on_failure(self, spark):
+        """The persist is released even when a driver-side action
+        throws (bad column name -> AnalysisException inside the
+        guarded block)."""
+        before = len([r for r in spark.sparkContext._jsc.getPersistentRDDs().items()])
+        df = self._toks(spark, [1, 2, 3])
+        with pytest.raises(Exception):
+            P.with_global_cumsum(df, "no_such_column", ["id"], "cs").collect()
+        after = len([r for r in spark.sparkContext._jsc.getPersistentRDDs().items()])
+        assert after <= before
+
     def test_no_single_partition_window(self, spark):
         df = self._toks(spark, [1, 2, 3])
         plan = (

@@ -259,10 +259,36 @@ class TestMultimodal:
         assert all(len(f) == 8 for _, f in a)
         assert all(all(0.0 <= x <= 1.0 for x in f) for _, f in a)
 
-    def test_real_decoder_is_stubbed(self, spark):
+    def test_real_decoder_gated_by_capability_probe(self, spark):
+        """Without codecs in the image, the real path raises the honest
+        NotImplementedError; WITH codecs (skipped here unless present)
+        it decodes through the identical mapInPandas plumbing."""
         media = M.synth_media(spark, n=3)
-        with pytest.raises(Exception, match="NotImplementedError|media decode"):
-            M.extract_features(media, decode_stub=False).collect()
+        if not M._media_capabilities()["image"]:
+            with pytest.raises(Exception, match="NotImplementedError|media decode"):
+                M.extract_features(media, decode_stub=False).collect()
+        else:
+            got = M.extract_features(media, decode_stub=False).collect()
+            assert all(len(r.feat) == 8 for r in got)
+
+    @pytest.mark.skipif(
+        not M._media_capabilities()["image"], reason="no PIL/cv2 in this runtime image"
+    )
+    def test_real_image_decode_kernel(self, spark):
+        """Lights up automatically the day the image gains codecs: a
+        real PNG decodes to a dim-8 intensity profile in [0,1]."""
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+        df = spark.createDataFrame(
+            [("m1", "image", bytearray(buf.getvalue()), 16, 16, 0)],
+            "media_id string, kind string, payload binary, width int, height int, duration_ms int",
+        )
+        r = M.extract_features(df, decode_stub=False).collect()[0]
+        assert len(r.feat) == 8 and all(abs(x - 128 / 255) < 0.01 for x in r.feat)
 
     def test_frame_sampling(self, spark):
         media = M.synth_media(spark, n=9)
@@ -475,6 +501,72 @@ class TestIvf:
         plan = assigned._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_kmeans_refine_improves_recall_on_planted_clusters(self, spark):
+        """r3 verdict Next #5: trained (Lloyd-refined) centroids must be
+        representative of real IVF recall. Planted corpus: 16 tight,
+        well-separated clusters; seed centroids are 16 deterministic
+        pseudo-random directions UNRELATED to the data. After 2 Lloyd
+        iterations the codebook moves onto the clusters, so nprobe=2
+        recall@10 improves."""
+        import hashlib
+        import struct
+
+        import numpy as np
+        from pyspark.sql import functions as F
+
+        dim, n_clusters, per = 16, 16, 40
+        rng = np.random.RandomState(7)
+        centers = rng.randn(n_clusters, dim) * 10.0
+        rows = []
+        vid = 1
+        for c in range(n_clusters):
+            for _ in range(per):
+                v = centers[c] + rng.randn(dim) * 0.05
+                rows.append((vid, [float(round(x, 3)) for x in v]))
+                vid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        # seeds: md5-derived directions, deliberately unrelated to data
+        def seed_vec(i):
+            h = hashlib.md5(f"seedcent:{i}".encode()).digest()
+            return [float(struct.unpack(">h", h[2 * j % 16 : 2 * j % 16 + 2])[0] % 19 - 9) for j in range(dim)]
+
+        seeds = spark.createDataFrame(
+            [(i, seed_vec(i)) for i in range(1, n_clusters + 1)],
+            "centroid_id long, centroid array<double>",
+        )
+        trained = S.kmeans_refine(df, seeds, n_iters=2, vec_col="embedding")
+        # one query per planted cluster; recall@10 averaged over all 16
+        # (single-query recall is too lucky/unlucky to compare fairly)
+        def total_recall(cents):
+            hits = 0
+            for c in range(n_clusters):
+                qrow = df.filter(F.col("vec_id") == c * per + 1).collect()[0]
+                qdf = spark.createDataFrame([(qrow.embedding,)], "q_embedding array<double>")
+                exact = {
+                    r.id for r in S.brute_force_topk_quantized(df, qrow.embedding, k=10).collect()
+                }
+                got = {r.id for r in S.ivf_topk(df, cents, qdf, k=10, nprobe=1).collect()}
+                hits += len(got & exact)
+            return hits  # out of 160
+
+        seed_total = total_recall(seeds)
+        trained_total = total_recall(trained)
+        assert trained_total > seed_total, (trained_total, seed_total)
+        assert trained_total >= 140  # near-perfect after training
+
+    def test_kmeans_refine_empty_cell_keeps_seed(self, spark):
+        """A centroid that captures no vectors must survive unchanged
+        (left join + coalesce), keeping the codebook total."""
+        df = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1])], "vec_id long, embedding array<double>"
+        )
+        seeds = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [-50.0, -50.0])], "centroid_id long, centroid array<double>"
+        )
+        out = {r.centroid_id: list(r.centroid) for r in S.kmeans_refine(df, seeds, 1).collect()}
+        assert set(out) == {1, 2}
+        assert out[2] == [-50.0, -50.0]  # empty cell: seed retained
+
 
 class TestLshBucketFastPath:
     def test_udf_equals_expression_and_python(self, spark):
@@ -543,6 +635,30 @@ class TestAsofJoin:
         )
         r = asof_join(left, right, ["user_id"], right_vals=("value", "tag")).collect()[0]
         assert (r.value_asof, r.tag_asof) == (7.0, "a")
+
+    def test_null_payload_from_latest_match_wins(self, spark):
+        """DuckDB ASOF semantics under NULL payloads (r3 ADVICE medium):
+        the LATEST matching right row's values win even when they are
+        NULL — an older row's non-null value must NOT carry forward, and
+        multiple payload columns must come from the SAME right row."""
+        from keras_ocr_spark.operators.asof import asof_join
+
+        left = spark.createDataFrame(
+            [(1, 1, 100), (2, 1, 300)], "event_id long, user_id long, ts long"
+        )
+        right = spark.createDataFrame(
+            [(1, 50, 7.0, "old"), (1, 90, None, "newer"), (1, 250, 9.0, None)],
+            "user_id long, ts long, value double, tag string",
+        )
+        out = {
+            r.event_id: (r.value_asof, r.tag_asof)
+            for r in asof_join(left, right, ["user_id"], right_vals=("value", "tag")).collect()
+        }
+        # latest match at ts=90 has value NULL: NULL wins, tag comes
+        # from the SAME row ("newer"), not mixed with ts=50's 7.0
+        assert out[1] == (None, "newer")
+        # latest match at ts=250: value 9.0, tag NULL — again atomic
+        assert out[2] == (9.0, None)
 
 
 class TestBm25:

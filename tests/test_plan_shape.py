@@ -129,6 +129,60 @@ class TestExpressionOperatorsStayJvmSide:
         assert "Exchange" not in plan  # map-only: scan -> project
 
 
+class TestSinglePandasUdfEvaluation:
+    """Regression pins for the r3 double-evaluation wastes: a pandas-UDF
+    projection filtered on its OWN output gets its null-filter pushed
+    below an upstream exchange by Catalyst, duplicating the
+    ArrowEvalPython node (observed python=2 for minhash, python=4 for
+    the near-dup self-join). Both operators now avoid it structurally."""
+
+    @pytest.fixture(scope="class")
+    def docs(self, spark, tmp_path_factory):
+        p = str(tmp_path_factory.mktemp("udfdocs") / "docs.parquet")
+        spark.createDataFrame(
+            [(i, f"word{i} alpha beta gamma delta epsilon") for i in range(20)],
+            "doc_id int, text string",
+        ).write.parquet(p)
+        return spark.read.parquet(p)
+
+    def test_minhash_signatures_single_arrow_node_under_repartition(self, spark, docs):
+        # The registered query repartitions before signing (_docs());
+        # reproduce that shape and assert exactly ONE Arrow boundary.
+        df = D.minhash_signatures(docs.repartition(8))
+        plan = plan_of(df)
+        assert n_nodes(plan, "ArrowEvalPython") == 1, plan
+        # Filter must act on the raw input, not the UDF output.
+        assert "BatchEvalPython" not in plan
+
+    def test_minhash_precondition_matches_kernel_nulls(self, spark, docs):
+        # The input-side precondition (non-null text, >= k words) must
+        # exclude exactly the rows the kernel would map to NULL.
+        edge = docs.union(
+            spark.createDataFrame(
+                [(100, None), (101, "two words"), (102, "a b c")], "doc_id int, text string"
+            )
+        )
+        out = D.minhash_signatures(edge, k=3)
+        ids = {r.id for r in out.select("id").collect()}
+        assert 100 not in ids and 101 not in ids  # null / too short dropped
+        assert 102 in ids and 0 in ids
+        assert out.filter(F.col("signature").isNull()).count() == 0
+
+    def test_all_pairs_above_join_plan_has_no_python(self, spark):
+        from keras_ocr_spark.operators import similarity as S
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        df = S.all_pairs_above(emb, threshold=0.8, fast=True)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        # the bucket kernel is materialized once via lazy localCheckpoint;
+        # the self-join scans the RDD — zero Python nodes in the join plan
+        assert "EvalPython" not in plan, plan[:1500]
+        assert "CartesianProduct" not in plan
+        # and values are unchanged vs the pure-expression twin
+        slow = S.all_pairs_above(emb, threshold=0.8, fast=False)
+        assert sorted(map(tuple, df.collect())) == sorted(map(tuple, slow.collect()))
+
+
 class TestFilterPushdown:
     def test_predicate_reaches_parquet(self, spark, transcripts_path):
         df = spark.read.parquet(transcripts_path).filter(F.col("role") == "user").select("conv_id")

@@ -132,6 +132,60 @@ def test_stateful_sessionize_stream_equals_batch(spark, tmp_path):
     assert len(got) > 50  # non-trivial session count
 
 
+def test_sessionize_identical_user_ts_ties(spark, tmp_path):
+    """r2 ADVICE tie-break audit, pinned (r3 verdict Next #9): two
+    events at the IDENTICAL (user_id, ts) must land in the same session
+    with both counted, in stream and batch alike — session aggregates
+    (min/max/count/sum) are insensitive to peer order, so ties cannot
+    make stream and batch diverge."""
+    from pathlib import Path
+
+    from pyspark.sql import functions as F
+
+    from keras_ocr_spark.streaming.sessionize import sessionize_batch, sessionize_stream
+
+    src = str(tmp_path / "tie_landing")
+    base = 1_700_000_000_000_000  # us
+    rows = [
+        # user 1: two events at the SAME ts, one 10 min later (one session)
+        (1, base, 1.0),
+        (1, base, 2.0),
+        (1, base + 600_000_000, 4.0),
+        # user 2: identical-ts pair, then a >gap jump closing the session
+        (2, base, 8.0),
+        (2, base, 16.0),
+        (2, base + 3_600_000_000, 32.0),
+    ]
+    spark.createDataFrame(
+        [(u, ts, v) for u, ts, v in rows], "user_id long, ts_us long, value double"
+    ).select("user_id", F.timestamp_micros("ts_us").alias("ts"), "value").write.parquet(src)
+
+    batch = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in sessionize_batch(spark.read.parquet(src), gap_minutes=30).collect()
+    }
+    assert (1, base, base + 600_000_000, 3, 7.0) in batch
+    assert (2, base, base, 2, 24.0) in batch  # tie pair is ONE session of 2
+    assert (2, base + 3_600_000_000, base + 3_600_000_000, 1, 32.0) in batch
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = (
+        sessionize_stream(stream, gap_minutes=30, timeout_ms=600_000)
+        .writeStream.format("memory")
+        .queryName("tie_sessions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_start_us, r.session_end_us, r.n_events, r.total_value)
+        for r in spark.sql("SELECT * FROM tie_sessions").collect()
+    }
+    # stream emits only CLOSED sessions: user 2's first (tie) session
+    assert (2, base, base, 2, 24.0) in got
+
+
 def test_windowed_agg_complete_equals_batch(spark, tmp_path):
     """Complete-mode watermarked windowed agg over a finite stream must
     equal the batch groupBy(window) of the same rows (the driver-oracle
