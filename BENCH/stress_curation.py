@@ -30,6 +30,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from pyspark.sql import functions as F  # noqa: E402
 
 from keras_ocr_spark.operators import dedup as D  # noqa: E402
+from keras_ocr_spark.operators import packing as P  # noqa: E402
 from keras_ocr_spark.operators import textstats as TS  # noqa: E402
 from keras_ocr_spark.operators.clusters import resolve_duplicates  # noqa: E402
 from keras_ocr_spark.plans.session import build_session  # noqa: E402
@@ -86,8 +87,25 @@ def main() -> int:
     t0 = time.time()
     keepers = resolved.filter("is_keeper").select("id")
     quality = TS.quality_scores(docs).select("id", "quality")
-    n_curated = keepers.join(quality, "id").filter(F.col("quality") >= 0.5).count()
+    survivors = keepers.join(quality, "id").filter(F.col("quality") >= 0.5).persist()
+    n_curated = survivors.count()
     t_gate = time.time() - t0
+
+    # Sequence packing over the curated survivors (r3 verdict Next #7:
+    # curate + pack END-TO-END at 10x): token counts from the kept
+    # docs, GPT-style concat-and-chunk layout via the 3-phase
+    # distributed prefix sum. Correctness cross-check: the last doc's
+    # cum_before + its tokens must equal the total token count.
+    t0 = time.time()
+    toks = survivors.join(TS.token_counts(docs).select("id", "n_ws_tokens"), "id").select(
+        "id", F.col("n_ws_tokens").cast("long").alias("n_tokens")
+    )
+    packed = P.pack_chunks(toks, "n_tokens", ["id"], capacity=2048)
+    total_tokens = toks.agg(F.sum("n_tokens")).collect()[0][0] or 0
+    last = packed.orderBy(F.desc("id")).limit(1).collect()
+    packed_ok = bool(last) and last[0]["cum_before"] + last[0]["n_tokens"] == total_tokens
+    n_chunks = (total_tokens + 2047) // 2048
+    t_pack = time.time() - t0
 
     # Recall on the planted triples. The CLOSURE is exact over the
     # pairs found (union-find parity in CI); the PAIRS stage is
@@ -116,13 +134,17 @@ def main() -> int:
         "resolve_s": round(t_resolve, 1),
         "curated_survivors": n_curated,
         "gate_s": round(t_gate, 1),
+        "packed_total_tokens": int(total_tokens),
+        "packed_chunks": int(n_chunks),
+        "packed_prefix_sum_exact": packed_ok,
+        "pack_s": round(t_pack, 1),
         "planted_triples": n_triples,
         "triples_split_by_lsh_miss": split,
         "planted_triple_recall": round(recall, 4),
         "scan_partitions": docs.rdd.getNumPartitions(),
     }
     print(json.dumps(out))
-    return 0 if recall >= 0.995 else 1
+    return 0 if (recall >= 0.995 and packed_ok) else 1
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from pyspark.sql import Window as W
 
 from .functions.hashing import HEX
 from .functions.numeric import pround
+from .operators import curation as C
 from .operators import dedup as D
 from .operators import encode as E
 from .operators import similarity as S
@@ -3238,6 +3239,84 @@ def q_csv_roundtrip(spark, sf_dir):
         .csv(path)
     )
     return out.select(_b("id"), "text", "lang")
+
+
+@register(
+    "frequent_ngrams",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (SELECT unnest(shingles) AS ngram FROM sh0)
+    SELECT ngram, CAST(count(*) AS BIGINT) AS n_docs
+    FROM sh GROUP BY ngram
+    ORDER BY n_docs DESC, ngram LIMIT 20
+    """,
+)
+def q_frequent_ngrams(spark, sf_dir):
+    """Corpus boilerplate mining (C4/CCNet pre-step): top-20 word
+    3-grams by document frequency — per-doc-distinct shingle explode,
+    ONE partial-aggregated count shuffle, TakeOrderedAndProject; total
+    (n_docs DESC, ngram ASC) order makes the cutoff deterministic."""
+    docs = _docs(spark, sf_dir)
+    out = C.frequent_ngrams(docs, k=3, top_n=20)
+    return out.select("ngram", F.col("n_docs").cast("long").alias("n_docs"))
+
+
+@register(
+    "strip_boilerplate",
+    """
+    WITH aug AS (
+      SELECT doc_id AS id,
+             text || chr(10) || 'visit our website for more' || chr(10) ||
+             (CASE WHEN doc_id % 2 = 0 THEN 'subscribe to the newsletter'
+                   ELSE 'unique tail ' || CAST(doc_id AS VARCHAR) END) AS text
+      FROM documents),
+    lines AS (
+      SELECT id, generate_subscripts(string_split(text, chr(10)), 1) AS pos,
+             unnest(string_split(text, chr(10))) AS line
+      FROM aug),
+    freq AS (SELECT line, count(*) AS line_df
+             FROM (SELECT DISTINCT line, id FROM lines) GROUP BY line),
+    hot AS (SELECT line FROM freq WHERE line_df >= 100),
+    kept AS (SELECT l.id, l.pos, l.line FROM lines l ANTI JOIN hot h ON l.line = h.line),
+    rebuilt AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+                       count(*) AS n_lines_kept
+                FROM kept GROUP BY id)
+    SELECT CAST(a.id AS BIGINT) AS id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_kept
+    FROM aug a LEFT JOIN rebuilt r ON a.id = r.id
+    """,
+)
+def q_strip_boilerplate(spark, sf_dir):
+    """C4-style boilerplate LINE removal over multi-line docs built
+    identically in both engines (every doc gains one corpus-wide
+    banner line and either a half-corpus banner or a per-doc unique
+    tail): lines in >= 100 distinct docs are stripped; surviving lines
+    re-assemble in order; every doc survives (empty text if fully
+    boilerplate). Exercises split/posexplode, the distinct->count DF
+    chain, the anti-join and the order-restoring regroup end to end."""
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nvisit our website for more\n"),
+            F.when(F.col("doc_id") % 2 == 0, F.lit("subscribe to the newsletter")).otherwise(
+                F.concat(F.lit("unique tail "), F.col("doc_id").cast("string"))
+            ),
+        ).alias("text"),
+    )
+    out = C.strip_boilerplate_lines(aug, min_doc_freq=100)
+    return out.select(_b("id"), "clean_text", F.col("n_lines_kept").cast("long").alias("n_lines_kept"))
+
+
+@register("compression_ratio", None)
+def q_compression_ratio(spark, sf_dir):
+    """zlib-deflate compression ratio per doc (Gopher/CCNet repetition
+    + entropy signal) — genuinely non-SQL (DuckDB has no deflate), so
+    this takes the driver's rows-only check; value goldens and
+    determinism are pinned in tests/test_operators.py."""
+    docs = _docs(spark, sf_dir)
+    return TS.compression_ratios(docs)
 
 
 # ==========================================================================

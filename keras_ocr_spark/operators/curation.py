@@ -270,3 +270,88 @@ def chunk_documents(
         F.col("c.chunk_text").alias("chunk_text"),
         F.col("c.n_tokens").cast("long").alias("n_tokens"),
     )
+
+
+def frequent_ngrams(
+    df: DataFrame,
+    k: int = 3,
+    top_n: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus-level boilerplate mining: the ``top_n`` word k-grams by
+    DOCUMENT frequency (each doc counts a distinct shingle once).
+
+    The C4/CCNet pre-step: the highest-doc-frequency n-grams surface
+    templated boilerplate ("all rights reserved", cookie banners) that
+    near-dup pipelines then strip or down-weight. Reference analog: the
+    character-frequency alphabet audit of the recognizer's training set
+    (``/root/reference/keras_ocr/recognition.py:61-74`` alphabet
+    handling), lifted from chars to corpus n-grams.
+
+    Plan: per-row shingle explode (distinct within doc by construction)
+    -> ONE count shuffle with map-side partial aggregation over at most
+    |vocab|^k keys -> TakeOrderedAndProject. Ties at the cutoff break
+    on the n-gram string, so the result is deterministic.
+    """
+    sh = df.select(
+        F.explode(shingles_expr(words_expr(F.col(text_col)), k)).alias("ngram")
+    )
+    return (
+        sh.groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(top_n)
+    )
+
+
+def strip_boilerplate_lines(
+    df: DataFrame,
+    min_doc_freq: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """C4-style boilerplate line removal: delete every LINE that occurs
+    in >= ``min_doc_freq`` distinct documents, preserving the order of
+    the surviving lines within each document.
+
+    Plan shape (three bounded shuffles, no Python):
+    1. per-row split + posexplode into (id, pos, line);
+    2. line document-frequency: distinct (line, id) -> count per line
+       (map-side partial agg; the heavy text column never rides the
+       shuffle twice — the distinct and the count share one exchange
+       chain keyed on the line);
+    3. anti-join hot lines out, regroup by id, re-assemble with
+       order restored via array_sort on (pos, line) structs.
+    Every input document survives (left join): a doc whose every line
+    was boilerplate comes back with empty text — droppable by a
+    downstream length gate, never silently lost.
+    """
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("pos", "line"),
+    )
+    hot = (
+        lines.select("line", "id")
+        .distinct()
+        .groupBy("line")
+        .agg(F.count(F.lit(1)).alias("line_df"))
+        .filter(F.col("line_df") >= min_doc_freq)
+        .select("line")
+    )
+    kept = lines.join(hot, "line", "left_anti")
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))), lambda s: s["line"]
+            ),
+            "\n",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    base = df.select(F.col(id_col).alias("id"))
+    return base.join(rebuilt, "id", "left").select(
+        "id",
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
+    )

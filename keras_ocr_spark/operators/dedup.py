@@ -404,7 +404,15 @@ def simhash_near_pairs(
     n_blocks = 4
     if max_hamming > n_blocks - 1:
         raise ValueError(f"max_hamming={max_hamming} needs >= {max_hamming + 1} blocks (pigeonhole); have {n_blocks}")
-    blocks = simhash_blocks(simhash_fingerprints(df, id_col, text_col), n_blocks)
+    # Materialize the per-doc fingerprints ONCE (lazy localCheckpoint)
+    # before exploding into blocks and self-joining: both join branches
+    # (and the optional hot-bucket count) would otherwise re-evaluate
+    # the Arrow kernel — the same double-eval Catalyst pushdown waste
+    # fixed for minhash/all_pairs_above (r3 What's wrong #2/#3). The
+    # checkpointed frame is one (id, int64) row per doc — tiny relative
+    # to the corpus; at full scale persist it as the fingerprint store.
+    fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=False)
+    blocks = simhash_blocks(fps, n_blocks)
     if max_block_bucket_size is not None:
         hot = (
             blocks.groupBy("blk", "key")

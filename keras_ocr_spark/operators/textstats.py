@@ -9,6 +9,7 @@ Each has an exact DuckDB oracle in ``__spark_entry__.py``.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -131,4 +132,39 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
             F.count("*").cast("long").alias("n_words"),
             pround(F.avg("lp"), 6).alias("avg_logprob"),
         )
+    )
+
+
+def compression_ratios(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """zlib compression ratio per document — the classic curation
+    signal SQL cannot express (Gopher/CCNet use it both ways: ratios
+    near 0 flag pathological repetition, ratios near 1 flag
+    high-entropy noise like base64 blobs or mojibake).
+
+    Arrow-vectorized pandas UDF over stdlib ``zlib`` at a FIXED level
+    (6) so the ratio is deterministic for a given zlib build; per-row,
+    zero shuffle — one scan at any scale. No SQL oracle exists (DuckDB
+    has no deflate), so the registered query takes the driver's
+    rows-only check; the value contract is pinned in pytest goldens
+    (repetitive text < 0.2, de-duplicated prose in between, random hex
+    > 0.5) instead.
+    """
+    import zlib
+
+    @F.pandas_udf("double")
+    def _cr(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return 1.0
+            return round(len(zlib.compress(raw, 6)) / len(raw), 6)
+
+        return texts.map(one)
+
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+        _cr(F.col(text_col)).alias("compression_ratio"),
     )

@@ -422,3 +422,86 @@ class TestCogroupNullKey:
         by_key = {r["user_id"]: r for r in rows}
         assert None in by_key and by_key[None]["n_events"] == 1
         assert by_key[1]["n_orders"] == 1
+
+
+class TestFrequentNgrams:
+    def test_planted_boilerplate_tops_the_list(self, spark):
+        docs = spark.createDataFrame(
+            [(i, f"unique{i} words here all rights reserved") for i in range(30)]
+            + [(100 + i, f"other{i} text body") for i in range(5)],
+            "doc_id long, text string",
+        )
+        got = C.frequent_ngrams(docs, k=3, top_n=5).collect()
+        assert got[0]["ngram"] == "all rights reserved" and got[0]["n_docs"] == 30
+        # per-doc distinct: a doc repeating a shingle counts once
+        rep = spark.createDataFrame([(0, "a b c a b c a b c")], "doc_id long, text string")
+        one = {r["ngram"]: r["n_docs"] for r in C.frequent_ngrams(rep, k=3, top_n=10).collect()}
+        assert one["a b c"] == 1
+
+    def test_plan_is_one_count_shuffle_take_ordered(self, spark):
+        docs = spark.createDataFrame([(0, "a b c d")], "doc_id long, text string")
+        plan = C.frequent_ngrams(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Python" not in plan
+
+
+class TestStripBoilerplateLines:
+    def test_hot_lines_removed_order_preserved(self, spark):
+        docs = spark.createDataFrame(
+            [
+                (1, "keep one\nBANNER\nkeep two"),
+                (2, "BANNER\nunique second"),
+                (3, "third only\nBANNER"),
+                (4, "BANNER"),  # fully boilerplate -> survives empty
+            ],
+            "doc_id long, text string",
+        )
+        out = {r["id"]: r for r in C.strip_boilerplate_lines(docs, min_doc_freq=3).collect()}
+        assert set(out) == {1, 2, 3, 4}  # every doc survives
+        assert out[1]["clean_text"] == "keep one\nkeep two"  # order kept
+        assert out[2]["clean_text"] == "unique second"
+        assert out[4]["clean_text"] == "" and out[4]["n_lines_kept"] == 0
+
+    def test_threshold_boundary(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "shared\na1"), (2, "shared\na2")], "doc_id long, text string"
+        )
+        # df=2 < min_doc_freq=3 -> kept
+        out = {r["id"]: r["clean_text"] for r in C.strip_boilerplate_lines(docs, 3).collect()}
+        assert out[1] == "shared\na1"
+        # df=2 >= min_doc_freq=2 -> stripped
+        out2 = {r["id"]: r["clean_text"] for r in C.strip_boilerplate_lines(docs, 2).collect()}
+        assert out2[1] == "a1" and out2[2] == "a2"
+
+
+class TestCompressionRatios:
+    def test_goldens_and_determinism(self, spark):
+        from keras_ocr_spark.operators import textstats as TS
+
+        import hashlib
+
+        hexblob = "".join(hashlib.sha256(str(i).encode()).hexdigest() for i in range(20))
+        docs = spark.createDataFrame(
+            [
+                (1, "spam " * 400),  # pathological repetition
+                (2, hexblob),  # high-entropy hex (~0.56 measured)
+                (3, None),
+            ],
+            "doc_id long, text string",
+        )
+        a = {r["id"]: r for r in TS.compression_ratios(docs).collect()}
+        b = {r["id"]: r for r in TS.compression_ratios(docs).collect()}
+        assert {k: v["compression_ratio"] for k, v in a.items()} == {
+            k: v["compression_ratio"] for k, v in b.items()
+        }
+        assert a[1]["compression_ratio"] < 0.2  # repetition compresses away
+        assert a[2]["compression_ratio"] > 0.5  # entropy does not
+        assert a[3]["compression_ratio"] is None and a[3]["n_chars"] is None
+
+    def test_map_only_plan(self, spark):
+        from keras_ocr_spark.operators import textstats as TS
+
+        docs = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = TS.compression_ratios(docs)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert plan.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in plan
