@@ -3319,6 +3319,54 @@ def q_compression_ratio(spark, sf_dir):
     return TS.compression_ratios(docs)
 
 
+@register(
+    "dedup_substring",
+    """
+    WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    g0 AS (
+      SELECT id, list_transform(range(1, len(ws) - 3),
+                 i -> md5(array_to_string(list_slice(ws, i, i + 4), ' '))) AS grams
+      FROM w WHERE len(ws) >= 5),
+    g AS (SELECT id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS h FROM g0),
+    dup AS (SELECT h FROM g GROUP BY h HAVING count(*) > 1),
+    ds AS (SELECT g.id, g.pos FROM g JOIN dup USING (h)),
+    wx AS (SELECT id, generate_subscripts(ws, 1) AS wpos, unnest(ws) AS word FROM w),
+    cov AS (SELECT DISTINCT wx.id, wx.wpos
+            FROM wx JOIN ds ON wx.id = ds.id AND wx.wpos BETWEEN ds.pos AND ds.pos + 4),
+    keep AS (SELECT wx.id, wx.wpos, wx.word
+             FROM wx ANTI JOIN cov ON wx.id = cov.id AND wx.wpos = cov.wpos),
+    ct AS (SELECT id, string_agg(word, ' ' ORDER BY wpos) AS clean_text FROM keep GROUP BY id),
+    agg AS (SELECT id, count(*) AS dup_words FROM cov GROUP BY id)
+    SELECT CAST(w.id AS BIGINT) AS id,
+           CAST(len(w.ws) AS BIGINT) AS n_words,
+           CAST(COALESCE(agg.dup_words, 0) AS BIGINT) AS dup_words,
+           CAST(CASE WHEN len(w.ws) > 0
+                THEN floor(CAST(COALESCE(agg.dup_words, 0) AS DOUBLE) / len(w.ws) * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS DOUBLE) AS dup_frac,
+           COALESCE(ct.clean_text, '') AS clean_text
+    FROM w LEFT JOIN agg ON w.id = agg.id LEFT JOIN ct ON w.id = ct.id
+    """,
+)
+def q_dedup_substring(spark, sf_dir):
+    """EXACT substring-span dedup (Lee et al. 2022 shingle-hash
+    formulation): any word 5-gram occurring more than once in the
+    corpus marks its span duplicated; per doc the span-union size and
+    the text with duplicated spans excised. One count shuffle on the
+    gram digest + one per-doc start-list shuffle; span union and text
+    rebuild are per-row array algebra. The oracle recomputes the
+    identical semantics relationally (range join on covered positions),
+    so the whole flow value-hash-matches."""
+    docs = _docs(spark, sf_dir)
+    out = D.substring_dup_stats(docs, k=5)
+    return out.select(
+        _b("id"),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("dup_words").cast("long").alias("dup_words"),
+        F.col("dup_frac").cast("double").alias("dup_frac"),
+        "clean_text",
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -507,3 +507,79 @@ def incremental_dedup_pairs(
         "corpus_id",
         threshold,
     )
+
+
+def substring_dup_stats(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT substring-span deduplication stats (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" flow,
+    shingle-hash formulation): every word k-gram occurring MORE THAN
+    ONCE across the corpus (any doc, including repeats within one doc)
+    marks its k-word span as duplicated; per doc we report the union
+    size of duplicated spans and the text with those spans removed.
+
+    Reference analog: the recognizer's blank/duplicate-label collapse
+    (``/root/reference/keras_ocr/recognition.py:353-358`` CTC decode
+    dedup) lifted from token-level to corpus-substring-level.
+
+    Scale shape (the standard Spark approximation of the paper's suffix
+    array): one explode of per-position k-gram md5s -> ONE count
+    shuffle keyed by the 32-hex digest with map-side partial
+    aggregation -> equi-join the duplicated digests back -> per-doc
+    start-position lists (second bounded shuffle) -> span-union +
+    text-rebuild as PER-ROW array algebra (exists/filter over the word
+    array — no further shuffle). Positions, not text, ride the joins.
+
+    Output: (id, n_words, dup_words, dup_frac, clean_text), one row per
+    input doc; docs shorter than k words pass through untouched.
+    """
+    words = words_expr(F.col(text_col))
+    n = F.size(words)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - F.lit(k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col).alias("id"), F.posexplode(grams).alias("pos0", "h")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+    dup_h = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("h")
+    starts = (
+        g.join(dup_h, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dup_starts"))
+    )
+    base = df.select(F.col(id_col).alias("id"), words.alias("_ws"))
+    joined = base.join(starts, "id", "left").select(
+        "id", "_ws", F.coalesce("dup_starts", F.array().cast("array<int>")).alias("_ds")
+    )
+    covered = lambda wp: F.exists(  # noqa: E731 — word pos inside any dup span
+        F.col("_ds"), lambda d: (wp >= d) & (wp <= d + F.lit(k - 1))
+    )
+    n_words = F.size("_ws")
+    dup_words = F.size(
+        F.filter(F.sequence(F.lit(1), n_words), lambda wp: covered(wp))
+    )
+    clean = F.array_join(
+        F.filter("_ws", lambda w, i: ~covered(i + F.lit(1))), " "
+    )
+    return joined.select(
+        "id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, dup_words).otherwise(F.lit(0)).cast("long").alias("dup_words"),
+        F.when(
+            n_words > 0,
+            F.floor(dup_words.cast("double") / n_words.cast("double") * 1000000 + F.lit(0.5))
+            / 1000000,
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_frac"),
+        clean.alias("clean_text"),
+    )

@@ -505,3 +505,49 @@ class TestCompressionRatios:
         plan = TS.compression_ratios(docs)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert plan.count("ArrowEvalPython") <= 1 and "BatchEvalPython" not in plan
+
+
+class TestSubstringDedup:
+    def test_planted_duplicate_span(self, spark):
+        from keras_ocr_spark.operators import dedup as D
+
+        shared = "one two three four five"  # the duplicated 5-gram
+        docs = spark.createDataFrame(
+            [
+                (1, f"alpha beta {shared} gamma"),
+                (2, f"delta {shared} epsilon zeta"),
+                (3, "entirely unrelated words right here"),
+                (4, "tiny doc"),  # < k words: untouched
+            ],
+            "doc_id long, text string",
+        )
+        got = {r["id"]: r for r in D.substring_dup_stats(docs, k=5).collect()}
+        assert got[1]["dup_words"] == 5 and got[2]["dup_words"] == 5
+        assert got[1]["clean_text"] == "alpha beta gamma"
+        assert got[2]["clean_text"] == "delta epsilon zeta"
+        assert got[3]["dup_words"] == 0 and got[3]["clean_text"] == docs.collect()[2]["text"]
+        assert got[4]["dup_words"] == 0 and got[4]["clean_text"] == "tiny doc"
+        assert got[1]["dup_frac"] == pytest.approx(5 / 8, abs=1e-6)
+
+    def test_overlapping_spans_union_not_sum(self, spark):
+        from keras_ocr_spark.operators import dedup as D
+
+        # six-word shared substring -> two overlapping 5-gram starts;
+        # union covers 6 words, not 10
+        shared = "a b c d e f"
+        docs = spark.createDataFrame(
+            [(1, f"x {shared} y"), (2, f"p {shared} q")], "doc_id long, text string"
+        )
+        got = {r["id"]: r for r in D.substring_dup_stats(docs, k=5).collect()}
+        assert got[1]["dup_words"] == 6
+        assert got[1]["clean_text"] == "x y"
+
+    def test_within_doc_repeat_counts(self, spark):
+        from keras_ocr_spark.operators import dedup as D
+
+        # the same 5-gram twice inside ONE doc is a duplicate too
+        docs = spark.createDataFrame(
+            [(1, "a b c d e z a b c d e")], "doc_id long, text string"
+        )
+        r = D.substring_dup_stats(docs, k=5).collect()[0]
+        assert r["dup_words"] == 10 and r["clean_text"] == "z"
