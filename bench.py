@@ -64,6 +64,15 @@ BENCH_QUERIES_R3 = [
     "tpch_q3",
 ]
 
+#: Added in round 4: substring-span dedup, trained-codebook IVF, and
+#: the boilerplate miners.
+BENCH_QUERIES_R4 = [
+    "dedup_substring",
+    "ann_topk_ivf_trained",
+    "frequent_ngrams",
+    "strip_boilerplate",
+]
+
 #: Synthetic transcript conversations per sf unit (sf0.1 -> 10000 convs,
 #: ~70k turns + the 700-turn skew tail).
 CONVS_PER_SF = 100000
@@ -81,7 +90,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--queries", default=",".join(BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3))
+    ap.add_argument("--queries", default=",".join(BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3 + BENCH_QUERIES_R4))
     ap.add_argument("--skip-transcripts", action="store_true")
     args = ap.parse_args()
 
@@ -143,7 +152,10 @@ def main() -> int:
         total += dt
 
     throughput = round(turns / extract_sec, 1) if extract_sec else None
-    r01_subtotal = sum(v for k, v in queries.items() if k not in BENCH_QUERIES_R2 and k not in BENCH_QUERIES_R3)
+    r01_subtotal = sum(
+        v for k, v in queries.items()
+        if k not in BENCH_QUERIES_R2 and k not in BENCH_QUERIES_R3 and k not in BENCH_QUERIES_R4
+    )
     print(
         json.dumps(
             {

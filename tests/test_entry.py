@@ -29,8 +29,10 @@ def test_queries_and_oracles_align(spark):
     oracles = entry_mod.oracle_sql()
     assert len(qs) >= 62
     assert set(oracles) <= set(qs)
-    # every registered query is SQL-checkable in round 1
-    assert set(oracles) == set(qs)
+    # Every registered query carries an exact DuckDB oracle, except the
+    # genuinely non-SQL-expressible ones (driver runs rows-only there).
+    ROWS_ONLY = {"compression_ratio"}  # zlib deflate: DuckDB has no equal
+    assert set(qs) - set(oracles) == ROWS_ONLY
 
 
 @pytest.mark.parametrize("name", sorted(entry_mod.queries()))

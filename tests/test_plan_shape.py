@@ -202,6 +202,9 @@ class TestNoAccidentalCartesian:
         "ann_topk_quantized",
         "ann_topk_multiprobe",
         "ann_topk_ivf",
+        # same 1-row-broadcast BNLJ design (query vector + probe cells)
+        # over the Lloyd-refined codebook.
+        "ann_topk_ivf_trained",
         # single-row broadcast of the corpus stats (N, avgdl, dfs) —
         # the same 1-row-side BNLJ design as the ANN queries.
         "bm25_search",
