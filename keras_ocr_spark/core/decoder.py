@@ -44,11 +44,22 @@ ENTITIES: Tuple[Tuple[str, str], ...] = (
 
 def decode_text(fragment: str) -> str:
     """Markup fragment -> clean text (the pure scalar core shared by the
-    oracle and the Spark expression chain)."""
-    s = TAG_RE.sub("", fragment)
-    for entity, char in ENTITIES:
-        s = s.replace(entity, char)
-    s = WS_RE.sub(" ", s)
+    oracle and the Spark expression chain).
+
+    Hot-loop fast paths (exactly the semantics of the unconditional
+    chain, asserted by the randomized parity suite): tag strip only when
+    a ``<`` exists, entity decode only when a ``&`` exists, and the
+    ASCII-whitespace collapse only when a run that would actually
+    collapse exists (same containment test as
+    ``tokenizer._visible_len``; the order — tags, entities, collapse —
+    is unchanged, so an ``&nbsp;&nbsp;`` still produces the double
+    space the collapse check then catches)."""
+    s = TAG_RE.sub("", fragment) if "<" in fragment else fragment
+    if "&" in s:
+        for entity, char in ENTITIES:
+            s = s.replace(entity, char)
+    if "  " in s or "\t" in s or "\r" in s or "\n" in s:
+        s = WS_RE.sub(" ", s)
     return s.strip()
 
 

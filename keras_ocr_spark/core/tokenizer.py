@@ -111,28 +111,32 @@ def tokenize(raw: str) -> List[Node]:
     boiler_depth = 0  # nesting count of BOILERPLATE_TAGS
     pos = 0
     idx = 0
+    # hot-loop local bindings (the loop runs once per tag corpus-wide)
+    append = nodes.append
+    vis = _visible_len
+    tag_name_match = TAG_NAME_RE.match
 
     for m in TAG_RE.finditer(raw):
         seg_start = m.start()
         if seg_start > pos:
-            tlen = _visible_len(raw[pos:seg_start])
+            tlen = vis(raw[pos:seg_start])
             if tlen:
-                nodes.append(
+                append(
                     Node(
-                        idx=idx,
-                        tag_path=path,
-                        start=pos,
-                        end=seg_start,
-                        tlen=tlen,
-                        link_len=tlen if link_depth else 0,
-                        boiler=boiler_depth > 0,
+                        idx,
+                        path,
+                        pos,
+                        seg_start,
+                        tlen,
+                        tlen if link_depth else 0,
+                        boiler_depth > 0,
                     )
                 )
                 idx += 1
         end = m.end()
         c1 = raw[seg_start + 1] if seg_start + 1 < end else ""
         if c1 == "/":
-            name_m = TAG_NAME_RE.match(raw, seg_start)
+            name_m = tag_name_match(raw, seg_start)
             if name_m:
                 name = name_m.group(1).lower()
                 # Pop to the matching open tag (tolerate mis-nesting).
@@ -147,7 +151,7 @@ def tokenize(raw: str) -> List[Node]:
                             break
                     path = ">".join(stack)
         elif c1 != "!":
-            name_m = TAG_NAME_RE.match(raw, seg_start)
+            name_m = tag_name_match(raw, seg_start)
             if name_m and raw[end - 2] != "/":  # not self-closing
                 name = name_m.group(1).lower()
                 if name not in VOID_TAGS:
