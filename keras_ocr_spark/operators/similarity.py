@@ -282,11 +282,43 @@ def ann_topk_pruned(
     )
 
 
+def ivf_cell_udf(cents: "List[tuple]"):
+    """Arrow-vectorized twin of the :func:`ivf_assign` expression argmax
+    (same quantized-integer arithmetic — one int64 matmul + argmax per
+    batch). ``cents`` is the sorted [(centroid_id, vector), ...] list;
+    sorting ascending makes numpy's first-max argmax implement the
+    ties-to-lowest-centroid_id rule exactly. Equality with the
+    expression twin is asserted in tests AND by the DuckDB oracle.
+
+    Why it exists (r4): the expression argmax inlines k x dim literal
+    nodes; its cost is O(1) in rows but seconds of Catalyst/codegen at
+    k=16, dim=64 — the right trade at 100 TB, the dominant cost at
+    bench scale. The numpy twin compiles in milliseconds."""
+    import numpy as np
+
+    C = np.array([_qvec(v) for _, v in cents], dtype=np.int64)  # (K, D)
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+
+    @F.pandas_udf(T.LongType())
+    def _cell(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.Series([], dtype="int64")
+                continue
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            q = (np.floor(np.abs(m) * VEC_SCALE + 0.5) * np.sign(m)).astype(np.int64)
+            dots = q @ C.T  # (N, K) int64
+            yield pd.Series(ids[np.argmax(dots, axis=1)])
+
+    return _cell
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fast: bool = True,
 ) -> DataFrame:
     """IVF coarse quantizer: assign every vector to its nearest centroid
     by INTEGER-quantized dot product (deterministic, cross-engine exact;
@@ -312,6 +344,12 @@ def ivf_assign(
     )
     if not cents:
         raise ValueError("ivf_assign needs at least one centroid")
+    if fast:
+        return df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            ivf_cell_udf(cents)(F.col(vec_col)).alias("cell"),
+        )
     scored = F.array(
         *[
             F.struct(
@@ -389,8 +427,22 @@ def kmeans_refine(
             .join(new_cents.alias("new"), "centroid_id", "left")
             .select(
                 "centroid_id",
-                F.coalesce(F.col("new.centroid"), F.col("old.centroid")).alias("centroid"),
+                F.coalesce(F.col("new.centroid").cast("array<double>"),
+                           F.col("old.centroid").cast("array<double>")).alias("centroid"),
             )
+        )
+        # Materialize the codebook NOW (k rows by construction — IVF
+        # codebooks are 2^4..2^16 entries): without this, iteration i+1
+        # (and every downstream collect/broadcast in ivf_topk) re-executes
+        # the whole accumulated refine lineage — the per-iteration
+        # explode+agg subtree runs 2-3x per consumer, and lineage grows
+        # with n_iters. A tiny LocalRelation makes the returned frame
+        # free to re-consume and keeps the update job exactly once per
+        # iteration.
+        rows = cents.collect()
+        cents = df.sparkSession.createDataFrame(
+            [(int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in rows],
+            "centroid_id long, centroid array<double>",
         )
     return cents
 

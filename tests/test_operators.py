@@ -501,6 +501,28 @@ class TestIvf:
         plan = assigned._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
 
+    def test_ivf_assign_fast_equals_expression_twin(self, spark):
+        """The numpy argmax kernel (r4 fast path) must agree with the
+        literal-expression fold row-for-row, including argmax ties
+        (ties -> lowest centroid_id: ascending sort + first-max)."""
+        from pyspark.sql import functions as F
+
+        emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        cents = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        fast = {r.id: r.cell for r in S.ivf_assign(emb, cents, fast=True).collect()}
+        slow = {r.id: r.cell for r in S.ivf_assign(emb, cents, fast=False).collect()}
+        assert fast == slow
+        # duplicate centroids force exact ties: lowest centroid_id wins
+        dup = spark.createDataFrame(
+            [(5, [1.0, 0.0]), (2, [1.0, 0.0]), (9, [1.0, 0.0])],
+            "centroid_id long, centroid array<double>",
+        )
+        vec = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        assert S.ivf_assign(vec, dup, fast=True).collect()[0].cell == 2
+        assert S.ivf_assign(vec, dup, fast=False).collect()[0].cell == 2
+
     def test_kmeans_refine_improves_recall_on_planted_clusters(self, spark):
         """r3 verdict Next #5: trained (Lloyd-refined) centroids must be
         representative of real IVF recall. Planted corpus: 16 tight,
