@@ -3377,6 +3377,98 @@ def q_dedup_substring(spark, sf_dir):
     )
 
 
+@register(
+    "leakage_safe_split",
+    f"""
+    WITH RECURSIVE
+    sh0 AS ({_SHINGLES_SQL}),
+    digs AS (
+      SELECT id, list_transform(shingles, s -> md5(s) || md5(s || '#')) AS digests
+      FROM sh0 WHERE len(shingles) > 0),
+    sig AS (
+      SELECT id, [{_minhash_sql_components(16)}] AS signature FROM digs),
+    bands AS (
+      SELECT id, b.band_idx, b.band_key
+      FROM sig, LATERAL (VALUES {_band_sql_values(4, 4)}) AS b(band_idx, band_key)),
+    cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.id < b.id),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT c.id_a, c.id_b, count(*) AS n_common
+      FROM cand c
+      JOIN sh a ON a.id = c.id_a
+      JOIN sh b ON b.id = c.id_b AND b.shingle = a.shingle
+      GROUP BY c.id_a, c.id_b),
+    pairs AS (
+      SELECT id_a, id_b
+      FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+      WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= CAST(0.5 AS DOUBLE)),
+    edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION SELECT id_b, id_a FROM pairs),
+    reach(id, r) AS (
+      SELECT u, u FROM edges
+      UNION
+      SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
+    comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
+    resolved AS (
+      SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(keeper_id AS BIGINT) AS keeper_id,
+           CASE WHEN substr(md5(CAST(keeper_id AS VARCHAR)), 1, 1) IN ('0','1','2','3')
+                THEN 'test' ELSE 'train' END AS split
+    FROM resolved
+    """,
+)
+def q_leakage_safe_split(spark, sf_dir):
+    """Contamination-SAFE train/test split: the side is a function of
+    the near-dup CLUSTER label (min-id keeper), so near-duplicates can
+    never straddle the split — the leak a random per-doc split commits
+    and contamination checks then chase. md5-nibble(keeper) in 0..3 ->
+    test (25% expected), engine-stable. One projection over the same
+    closure dedup_resolve runs."""
+    from .operators.clusters import leakage_safe_split
+
+    docs = _docs(spark, sf_dir)
+    pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
+    out = leakage_safe_split(docs, pairs, id_col="doc_id")
+    return out.select(_b("id"), F.col("keeper_id").cast("long").alias("keeper_id"), "split")
+
+
+@register(
+    "token_budget_mix",
+    """
+    WITH toks AS (
+      SELECT doc_id AS id, lang, len(string_split(text, ' ')) AS n_tokens FROM documents),
+    cum AS (
+      SELECT id, lang, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang
+                                 ORDER BY md5(CAST(id AS VARCHAR)), id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM toks)
+    SELECT CAST(id AS BIGINT) AS id, lang,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM cum
+    WHERE cum_tokens <= (CASE WHEN lang = 'en' THEN 6000 ELSE 2000 END)
+    """,
+)
+def q_token_budget_mix(spark, sf_dir):
+    """Pretraining data-MIXING: each language keeps documents in a
+    deterministic md5 systematic order until its token budget is
+    exhausted (en 6000 tokens, others 2000 — both genuinely truncate
+    at sf0.01). One language-partitioned window (no global order), a
+    literal CASE budget lookup — the mixing-weights primitive of a
+    100 TB corpus assembly, stable across runs/engines/partitionings
+    where df.sample() is none of those."""
+    from .operators.curation import token_budget_mix
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_budget_mix(docs, {"en": 6000}, default_budget=2000)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -208,3 +208,31 @@ def best_keeper(
             (F.col("id") == F.coalesce("best_id", "keeper_id")).alias("is_best"),
         )
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    test_nibbles: tuple = ("0", "1", "2", "3"),
+) -> DataFrame:
+    """Contamination-safe train/test split: the side is decided by the
+    md5 of the CLUSTER label (the min-id keeper from
+    :func:`resolve_duplicates`), so every member of a near-dup cluster
+    lands on the SAME side — the split a real eval pipeline needs,
+    because a random per-document split leaks near-duplicates of test
+    documents into train (the failure mode contamination checks then
+    have to catch after the fact).
+
+    ``test_nibbles`` selects which first-md5-nibble values go to test
+    (default 4/16 = 25% expected, deterministic and engine-stable).
+    One extra projection over resolve_duplicates — no additional
+    shuffle. Output: (id, keeper_id, split).
+    """
+    resolved = resolve_duplicates(df, pairs, id_col=id_col)
+    is_test = F.substring(F.md5(F.col("keeper_id").cast("string")), 1, 1).isin(*test_nibbles)
+    return resolved.select(
+        "id",
+        "keeper_id",
+        F.when(is_test, F.lit("test")).otherwise(F.lit("train")).alias("split"),
+    )

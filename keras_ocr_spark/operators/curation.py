@@ -355,3 +355,44 @@ def strip_boilerplate_lines(
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
         F.coalesce("n_lines_kept", F.lit(0)).cast("long").alias("n_lines_kept"),
     )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict,
+    default_budget: int,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    tokens_col: "Column | None" = None,
+) -> DataFrame:
+    """Per-language token budgeting — the data-MIXING primitive of a
+    pretraining pipeline: each language keeps documents, in a
+    deterministic md5 systematic order, until its token budget is
+    exhausted (every kept row's inclusive running total fits the
+    budget; the first crossing row is excluded).
+
+    Scale shape: ONE window partitioned by the language (each stratum
+    sorts independently — no global order, the same scalable window
+    shape as stratified_sample), budget lookup is a literal CASE
+    projection. The md5 order makes the kept set stable across runs,
+    engines and partitionings — df.sample() can do none of that.
+
+    Output: (id, lang, n_tokens, cum_tokens), kept rows only.
+    """
+    toks = tokens_col if tokens_col is not None else F.size(F.split(F.col("text"), " ", -1))
+    budget = F.lit(int(default_budget))
+    for lang, b in sorted(budgets.items()):
+        budget = F.when(F.col("lang") == lang, F.lit(int(b))).otherwise(budget)
+    w = (
+        W.partitionBy("lang")
+        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        toks.cast("long").alias("n_tokens"),
+    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return staged.filter(F.col("cum_tokens") <= budget).select(
+        "id", "lang", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
+    )

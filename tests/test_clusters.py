@@ -166,3 +166,33 @@ class TestBestKeeper:
         quality = spark.createDataFrame([(2, 0.01)], "id long, quality double")
         out = {r["id"]: r for r in best_keeper(resolved, quality).collect()}
         assert out[1]["best_id"] == 2 and out[2]["best_id"] == 2
+
+
+class TestLeakageSafeSplit:
+    def test_cluster_members_never_straddle(self, spark):
+        from keras_ocr_spark.operators.clusters import leakage_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 41)], "doc_id long")
+        # chains {1..4}, {10,11}, rest singletons
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+        )
+        out = leakage_safe_split(docs, pairs, id_col="doc_id").collect()
+        by_id = {r.id: r for r in out}
+        assert len(by_id) == 40  # every doc split exactly once
+        for cluster in ([1, 2, 3, 4], [10, 11]):
+            sides = {by_id[i].split for i in cluster}
+            assert len(sides) == 1, cluster  # whole cluster on one side
+        assert {r.split for r in out} == {"train", "test"}  # both sides used
+
+    def test_split_is_deterministic_function_of_keeper(self, spark):
+        import hashlib
+
+        from keras_ocr_spark.operators.clusters import leakage_safe_split
+
+        docs = spark.createDataFrame([(i,) for i in range(1, 21)], "doc_id long")
+        pairs = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+        out = {r.id: r for r in leakage_safe_split(docs, pairs, id_col="doc_id").collect()}
+        for i, r in out.items():
+            want = "test" if hashlib.md5(str(r.keeper_id).encode()).hexdigest()[0] in "0123" else "train"
+            assert r.split == want, (i, r)

@@ -551,3 +551,42 @@ class TestSubstringDedup:
         )
         r = D.substring_dup_stats(docs, k=5).collect()[0]
         assert r["dup_words"] == 10 and r["clean_text"] == "z"
+
+
+class TestTokenBudgetMix:
+    def test_budget_respected_and_deterministic(self, spark):
+        rows = [(i, "en" if i % 2 else "de", " ".join(["w"] * (5 + i % 7))) for i in range(60)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+        out = C.token_budget_mix(df, {"en": 50}, default_budget=30)
+        got = out.collect()
+        by_lang = {}
+        for r in got:
+            by_lang.setdefault(r.lang, []).append(r)
+        # inclusive running totals never exceed the lang budget
+        assert max(r.cum_tokens for r in by_lang["en"]) <= 50
+        assert max(r.cum_tokens for r in by_lang["de"]) <= 30
+        # something was actually truncated in both languages
+        total_en = sum(5 + i % 7 for i in range(60) if i % 2)
+        total_de = sum(5 + i % 7 for i in range(60) if not i % 2)
+        assert sum(r.n_tokens for r in by_lang["en"]) < total_en
+        assert sum(r.n_tokens for r in by_lang["de"]) < total_de
+        # deterministic: same kept set on re-run
+        again = {(r.id, r.cum_tokens) for r in C.token_budget_mix(df, {"en": 50}, 30).collect()}
+        assert again == {(r.id, r.cum_tokens) for r in got}
+
+    def test_crossing_row_excluded(self, spark):
+        # one lang, budget 10, docs of 6 tokens each in md5 order:
+        # first fits (6), second crosses (12) -> exactly one kept
+        df = spark.createDataFrame(
+            [(1, "x", "a b c d e f"), (2, "x", "a b c d e f")],
+            "doc_id long, lang string, text string",
+        )
+        got = C.token_budget_mix(df, {}, default_budget=10).collect()
+        assert len(got) == 1 and got[0].cum_tokens == 6
+
+    def test_no_global_order_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", "a b"), (2, "y", "c d")], "doc_id long, lang string, text string"
+        )
+        plan = C.token_budget_mix(df, {}, 100)._jdf.queryExecution().executedPlan().toString()
+        assert "SinglePartition" not in plan
