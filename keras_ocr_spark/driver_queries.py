@@ -3469,6 +3469,44 @@ def q_token_budget_mix(spark, sf_dir):
     return token_budget_mix(docs, {"en": 6000}, default_budget=2000)
 
 
+@register(
+    "nfc_canonicalize",
+    """
+    WITH aug AS (
+      SELECT doc_id AS id,
+             text || (CASE WHEN doc_id % 2 = 0
+                      THEN ' caf' || chr(101) || chr(769) || ' na' || chr(110) || chr(771) || 'o'
+                      ELSE ' plain ascii tail' END) AS text
+      FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           nfc_normalize(text) AS norm_text,
+           (text IS DISTINCT FROM nfc_normalize(text)) AS changed,
+           CAST(length(nfc_normalize(text)) AS BIGINT) AS n_cp
+    FROM aug
+    """,
+)
+def q_nfc_canonicalize(spark, sf_dir):
+    """Unicode NFC canonicalization — the step a dedup pipeline must
+    run BEFORE hashing (e+U+0301 and precomposed U+00E9 hash apart for
+    the same visible text). Input augmented identically in both
+    engines: even ids gain combining sequences (NFC rewrites them,
+    changed=true, codepoint count shrinks), odd ids a plain ASCII tail
+    (identity). Spark side is one Arrow node over unicodedata NFC; the
+    oracle is DuckDB's native nfc_normalize — two independent
+    implementations of the same Unicode normal form, value-hashed."""
+    aug = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" caf" + chr(101) + chr(769) + " na" + chr(110) + chr(771) + "o"),
+            ).otherwise(F.lit(" plain ascii tail")),
+        ).alias("text"),
+    )
+    return TS.nfc_normalize_texts(aug)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

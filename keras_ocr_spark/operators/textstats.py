@@ -168,3 +168,38 @@ def compression_ratios(df: DataFrame, id_col: str = "doc_id", text_col: str = "t
         F.length(F.col(text_col)).cast("long").alias("n_chars"),
         _cr(F.col(text_col)).alias("compression_ratio"),
     )
+
+
+def nfc_normalize_texts(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Unicode NFC canonicalization — the normalization a dedup/hash
+    pipeline must run FIRST: 'e' + U+0301 and precomposed U+00E9 are
+    different byte strings (different md5, different shingles, different
+    MinHash) for the same visible text, so un-normalized corpora
+    under-deduplicate. Arrow-vectorized ``unicodedata.normalize("NFC")``
+    per row — map-only, zero shuffle; DuckDB's ``nfc_normalize`` is the
+    cross-engine oracle (both implement the same Unicode normal form).
+
+    Output: (id, norm_text, changed, n_cp) — changed flags rows the
+    canonicalization actually rewrote; n_cp is the post-NFC codepoint
+    count (BMP-safe cross-engine).
+    """
+    import unicodedata
+
+    @F.pandas_udf("string")
+    def _nfc(texts: pd.Series) -> pd.Series:
+        return texts.map(lambda t: None if t is None else unicodedata.normalize("NFC", t))
+
+    # kernel referenced ONCE in its own projection (three references in
+    # one select would plan three Arrow nodes — the r3/r4 double-eval
+    # class of waste; pinned by the plan check in tests)
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(text_col).alias("_raw"),
+        _nfc(F.col(text_col)).alias("norm_text"),
+    )
+    return staged.select(
+        "id",
+        "norm_text",
+        (~F.col("_raw").eqNullSafe(F.col("norm_text"))).alias("changed"),
+        F.length("norm_text").cast("long").alias("n_cp"),
+    )

@@ -723,3 +723,30 @@ class TestBm25:
         assert abs(got[0] - score(2, 4)) < 1e-12
         assert abs(got[1] - score(1, 2)) < 1e-12
         assert 2 not in got
+
+
+class TestNfcNormalize:
+    def test_combining_sequences_compose_and_flags(self, spark):
+        import unicodedata
+
+        from keras_ocr_spark.operators import textstats as TS
+
+        decomposed = "café naño"  # e+ACUTE, n+TILDE
+        composed = unicodedata.normalize("NFC", decomposed)
+        assert decomposed != composed and len(composed) == len(decomposed) - 2
+        df = spark.createDataFrame(
+            [(1, decomposed), (2, "ascii only"), (3, None)],
+            "doc_id long, text string",
+        )
+        out = {r.id: r for r in TS.nfc_normalize_texts(df).collect()}
+        assert out[1].norm_text == composed and out[1].changed and out[1].n_cp == len(composed)
+        assert out[2].norm_text == "ascii only" and not out[2].changed
+        assert out[3].norm_text is None and not out[3].changed
+
+    def test_single_arrow_node_map_only(self, spark):
+        from keras_ocr_spark.operators import textstats as TS
+
+        df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+        plan = TS.nfc_normalize_texts(df)._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert "Exchange" not in plan
