@@ -590,3 +590,33 @@ class TestTokenBudgetMix:
         )
         plan = C.token_budget_mix(df, {}, 100)._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
+
+
+class TestCompressionRatioFullParity:
+    def test_spark_equals_pure_python_on_sf_documents(self, spark):
+        """compression_ratio has no SQL oracle (DuckDB lacks deflate),
+        so pin the STRONG local equivalent instead: the Spark frame
+        equals a driver-side pure-Python zlib pass over the same
+        parquet, row for row — the same level of evidence a value-hash
+        oracle gives, just computed in-process."""
+        import zlib
+
+        import pyarrow.parquet as pq
+
+        from keras_ocr_spark.operators import textstats as TS
+
+        tbl = pq.read_table("/root/testdata/sf0.001/documents.parquet", columns=["doc_id", "text"])
+        want = {}
+        for doc_id, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()):
+            if text is None:
+                want[doc_id] = (None, None)
+            else:
+                raw = text.encode("utf-8")
+                cr = round(len(zlib.compress(raw, 6)) / len(raw), 6) if raw else 1.0
+                want[doc_id] = (len(text), cr)
+        docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        got = {
+            r.id: (r.n_chars, r.compression_ratio)
+            for r in TS.compression_ratios(docs).collect()
+        }
+        assert got == want and len(got) > 0
