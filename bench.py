@@ -73,6 +73,13 @@ BENCH_QUERIES_R4 = [
     "strip_boilerplate",
 ]
 
+#: Per-query repetitions; min wall is reported. This box shows 3x+
+#: minute-to-minute noise (neighbor steal — ROUND_NOTES); a single-shot
+#: bench read in a noisy window recorded a phantom +13% regression in
+#: r3. min-of-2 keeps the harness honest without doubling much wall
+#: (JVM/codegen warm by rep 2). In effect from r4.
+REPS = 2
+
 #: Synthetic transcript conversations per sf unit (sf0.1 -> 10000 convs,
 #: ~70k turns + the 700-turn skew tail).
 CONVS_PER_SF = 100000
@@ -143,10 +150,12 @@ def main() -> int:
             ).collect()[0]
 
         _force(extract(src.limit(2000)))
-        t0 = time.perf_counter()
-        row = _force(extract(src))
-        extract_sec = time.perf_counter() - t0
-        assert row["n"] == turns, f"row mismatch {row['n']} != {turns}"
+        extract_sec = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            row = _force(extract(src))
+            extract_sec = min(extract_sec, time.perf_counter() - t0)
+            assert row["n"] == turns, f"row mismatch {row['n']} != {turns}"
         queries["extract_transcripts"] = round(extract_sec, 3)
         total += extract_sec
 
@@ -160,10 +169,12 @@ def main() -> int:
             # INGEST-time cost by design — queries then prune it); the
             # timed run below measures the steady-state pruned scan.
             fn(spark, args.sf_dir).count()
-        t0 = time.perf_counter()
-        df = fn(spark, args.sf_dir)
-        df.count()
-        dt = time.perf_counter() - t0
+        dt = float("inf")
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            df = fn(spark, args.sf_dir)
+            df.count()
+            dt = min(dt, time.perf_counter() - t0)
         queries[name] = round(dt, 3)
         total += dt
 
@@ -184,6 +195,8 @@ def main() -> int:
                 "turns": turns,
                 "extraction_throughput_turns_per_sec": throughput,
                 "extract_timing": "forced-materialization (r4+; r1-r3 timed a UDF-pruned count plan)",
+                "reps_per_query": REPS,
+                "rep_agg": "min",
                 "r01_comparable_subtotal_sec": round(r01_subtotal, 3),
                 "r01_operators_only_subtotal_sec": round(
                     r01_subtotal - queries.get("extract_transcripts", 0.0), 3
