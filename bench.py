@@ -197,10 +197,17 @@ def main() -> int:
                 "extract_timing": "forced-materialization (r4+; r1-r3 timed a UDF-pruned count plan)",
                 "reps_per_query": REPS,
                 "rep_agg": "min",
-                "r01_comparable_subtotal_sec": round(r01_subtotal, 3),
+                # r1-r3 published "r01_comparable_subtotal_sec", whose
+                # extract component was a UDF-pruned plan; with the
+                # forced timing that key would read as a phantom
+                # multi-second regression, so it is RETIRED. The
+                # operators-only key below is genuinely comparable
+                # across all rounds; the full subtotal including the
+                # (now honest) extract gets a new, unambiguous name.
                 "r01_operators_only_subtotal_sec": round(
                     r01_subtotal - queries.get("extract_transcripts", 0.0), 3
                 ),
+                "r01_subtotal_with_forced_extract_sec": round(r01_subtotal, 3),
             }
         )
     )

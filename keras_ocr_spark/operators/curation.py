@@ -294,9 +294,9 @@ def frequent_ngrams(
     |vocab|^k keys -> TakeOrderedAndProject. Ties at the cutoff break
     on the n-gram string, so the result is deterministic.
     """
-    sh = df.select(
-        F.explode(shingles_expr(words_expr(F.col(text_col)), k)).alias("ngram")
-    )
+    from .dedup import shingle_docs
+
+    sh = shingle_docs(df, id_col, text_col, k).select(F.col("shingle").alias("ngram"))
     return (
         sh.groupBy("ngram")
         .agg(F.count(F.lit(1)).alias("n_docs"))

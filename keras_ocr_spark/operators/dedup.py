@@ -411,6 +411,10 @@ def simhash_near_pairs(
     # fixed for minhash/all_pairs_above (r3 What's wrong #2/#3). The
     # checkpointed frame is one (id, int64) row per doc — tiny relative
     # to the corpus; at full scale persist it as the fingerprint store.
+    # Lifecycle: the blocks live until Spark's ContextCleaner collects
+    # the RDD (no handle survives to unpersist a LAZY checkpoint of a
+    # returned frame) — bounded here by the tiny row size; heavy
+    # long-lived sessions should prefer the persisted-store path.
     fps = simhash_fingerprints(df, id_col, text_col).localCheckpoint(eager=False)
     blocks = simhash_blocks(fps, n_blocks)
     if max_block_bucket_size is not None:
@@ -566,8 +570,12 @@ def substring_dup_stats(
     dup_words = F.size(
         F.filter(F.sequence(F.lit(1), n_words), lambda wp: covered(wp))
     )
-    clean = F.array_join(
-        F.filter("_ws", lambda w, i: ~covered(i + F.lit(1))), " "
+    # coalesce: a NULL-text doc has _ws = NULL -> array_join yields NULL,
+    # but the contract (and the DuckDB oracle's COALESCE) is empty text —
+    # NULL would silently break the value-hash parity on dirty corpora.
+    clean = F.coalesce(
+        F.array_join(F.filter("_ws", lambda w, i: ~covered(i + F.lit(1))), " "),
+        F.lit(""),
     )
     return joined.select(
         "id",

@@ -33,10 +33,17 @@ FEATURE_SCHEMA = "media_id string, kind string, n_bytes long, feat array<double>
 FRAME_SCHEMA = "media_id string, frame_idx int, frame_sha string"
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _media_capabilities() -> dict:
     """Probe which decode backends exist in THIS runtime (r3 verdict
     Next #10): the kernels below light up the day the image gains
-    codecs, with zero code change."""
+    codecs, with zero code change. Cached — the probe is called per
+    decoded row inside mapInPandas, and a MISSING backend cannot be
+    cached in sys.modules, so an uncached miss would re-scan sys.path
+    per row."""
     import importlib.util
 
     return {

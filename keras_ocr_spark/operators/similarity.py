@@ -299,16 +299,28 @@ def ivf_cell_udf(cents: "List[tuple]"):
     C = np.array([_qvec(v) for _, v in cents], dtype=np.int64)  # (K, D)
     ids = np.array([cid for cid, _ in cents], dtype=np.int64)
 
+    dim = C.shape[1]
+
     @F.pandas_udf(T.LongType())
     def _cell(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         for vecs in batches:
             if len(vecs) == 0:
                 yield pd.Series([], dtype="int64")
                 continue
-            m = np.stack(vecs.to_numpy()).astype(np.float64)
-            q = (np.floor(np.abs(m) * VEC_SCALE + 0.5) * np.sign(m)).astype(np.int64)
-            dots = q @ C.T  # (N, K) int64
-            yield pd.Series(ids[np.argmax(dots, axis=1)])
+            vals = vecs.to_numpy()
+            # NULL / wrong-length vectors degrade to a NULL cell (the
+            # expression twin null-propagates rather than erroring; a
+            # raw np.stack would instead fail the whole task on one
+            # dirty row).
+            ok = np.array([v is not None and len(v) == dim for v in vals])
+            out = np.full(len(vals), np.nan)
+            if ok.any():
+                m = np.stack(vals[ok]).astype(np.float64)
+                q = (np.floor(np.abs(m) * VEC_SCALE + 0.5) * np.sign(m)).astype(np.int64)
+                out[ok] = ids[np.argmax(q @ C.T, axis=1)]
+            # nullable Int64: NaN -> <NA> -> SQL NULL (a raw float64
+            # series with NaN cannot convert to the LongType column)
+            yield pd.Series(out).astype("Int64")
 
     return _cell
 
@@ -397,6 +409,15 @@ def kmeans_refine(
     by construction (as every IVF build does) — pass the sampled frame;
     the full-corpus assignment afterwards is the zero-shuffle argmax.
     """
+    if scale != VEC_SCALE:
+        # The assign step (ivf_assign -> _qvec / ivf_cell_udf) quantizes
+        # at the global VEC_SCALE; a different update scale would compute
+        # cells at one resolution and codebook means at another —
+        # silently wrong assignments. Refuse rather than diverge.
+        raise ValueError(
+            f"kmeans_refine scale={scale} must equal VEC_SCALE={VEC_SCALE} "
+            "(the assignment quantization is pinned to VEC_SCALE)"
+        )
     cents = centroids
     for _ in range(int(n_iters)):
         assigned = ivf_assign(df, cents, id_col, vec_col)

@@ -750,3 +750,35 @@ class TestNfcNormalize:
         plan = TS.nfc_normalize_texts(df)._jdf.queryExecution().executedPlan().toString()
         assert plan.count("ArrowEvalPython") == 1
         assert "Exchange" not in plan
+
+
+class TestDirtyInputDegradation:
+    """r4 self-review regressions: dirty rows degrade, never crash or
+    diverge from the oracle semantics."""
+
+    def test_ivf_fast_path_null_and_ragged_vectors(self, spark):
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, None), (3, [0.5]), (4, [0.0, 1.0])],
+            "vec_id long, embedding array<double>",
+        )
+        cents = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.0, 1.0])], "centroid_id long, centroid array<double>"
+        )
+        got = {r.id: r.cell for r in S.ivf_assign(emb, cents, fast=True).collect()}
+        assert got[1] == 1 and got[4] == 2
+        assert got[2] is None and got[3] is None  # degrade, not task failure
+
+    def test_substring_dedup_null_text_matches_oracle_contract(self, spark):
+        docs = spark.createDataFrame(
+            [(1, None), (2, "a b c d e f g")], "doc_id long, text string"
+        )
+        rows = {r.id: r for r in D.substring_dup_stats(docs, k=5).collect()}
+        # oracle COALESCEs to '' for the null-text doc; Spark must agree
+        assert rows[1].clean_text == "" and rows[1].dup_words == 0
+        assert rows[1].n_words is None  # len(split(NULL)) is NULL both engines
+
+    def test_kmeans_refine_rejects_mismatched_scale(self, spark):
+        emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<double>")
+        cents = spark.createDataFrame([(1, [1.0, 0.0])], "centroid_id long, centroid array<double>")
+        with pytest.raises(ValueError, match="VEC_SCALE"):
+            S.kmeans_refine(emb, cents, scale=10_000)
