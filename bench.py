@@ -93,13 +93,65 @@ def sf_from_dir(sf_dir: str) -> float:
         return 0.1
 
 
+def _load1() -> float:
+    """1-minute load average (Linux /proc; os.getloadavg fallback)."""
+    try:
+        return float(Path("/proc/loadavg").read_text().split()[0])
+    except Exception:  # noqa: BLE001
+        return os.getloadavg()[0]
+
+
+def wait_for_quiet_window(threshold: float, max_wait_sec: float, poll_sec: float = 30.0) -> dict:
+    """Block until ambient 1-min load drops below ``threshold`` (or the
+    wait budget runs out) and return the evidence dict stamped into the
+    bench JSON.
+
+    Why: this box shows 3x+ minute-to-minute neighbor noise
+    (ROUND_NOTES); BENCH_r04 was captured in a busy window and recorded
+    >2x phantom regressions on plan-unchanged queries (r4 verdict
+    What's wrong #3). Sampling BEFORE the Spark session starts means
+    the reading is genuinely ambient (our own executors aren't in it);
+    the recorded artifact then carries the load evidence so a noisy
+    capture is visible instead of masquerading as a regression.
+    """
+    samples = [_load1()]
+    waited = 0.0
+    while samples[-1] >= threshold and waited < max_wait_sec:
+        time.sleep(poll_sec)
+        waited += poll_sec
+        samples.append(_load1())
+    return {
+        "threshold": threshold,
+        "samples": [round(s, 2) for s in samples[-10:]],
+        "waited_sec": round(waited, 1),
+        "quiet": samples[-1] < threshold,
+    }
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     ap.add_argument("--queries", default=",".join(BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3 + BENCH_QUERIES_R4))
     ap.add_argument("--skip-transcripts", action="store_true")
+    ap.add_argument(
+        "--quiet-threshold",
+        type=float,
+        default=float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "1.0")),
+        help="ambient 1-min load below which the box counts as quiet",
+    )
+    ap.add_argument(
+        "--quiet-max-wait",
+        type=float,
+        default=float(os.environ.get("SPARK_GRAFT_QUIET_MAX_WAIT", "600")),
+        help="max seconds to wait for a quiet window before proceeding anyway",
+    )
     args = ap.parse_args()
+
+    # Quiet-window gate (r4 verdict Next #3): sample ambient load before
+    # the JVM exists, wait (bounded) for the box to go quiet, and stamp
+    # the evidence into the artifact either way.
+    quiet_gate = wait_for_quiet_window(args.quiet_threshold, args.quiet_max_wait)
 
     sf = sf_from_dir(args.sf_dir)
     # Bench-scale scans must split finely enough to use every core (the
@@ -208,6 +260,12 @@ def main() -> int:
                     r01_subtotal - queries.get("extract_transcripts", 0.0), 3
                 ),
                 "r01_subtotal_with_forced_extract_sec": round(r01_subtotal, 3),
+                # Ambient-load evidence: `quiet_gate` is sampled BEFORE
+                # the Spark session starts (genuinely ambient);
+                # `ambient_load_post` is the 1-min load at the end (our
+                # own 32 threads are in it — context, not a gate).
+                "quiet_gate": quiet_gate,
+                "ambient_load_post": round(_load1(), 2),
             }
         )
     )

@@ -2575,7 +2575,7 @@ def q_pack_sequences(spark, sf_dir):
       FROM documents)
     SELECT term,
            CAST(count(*) AS BIGINT) AS df,
-           list(CAST(id AS BIGINT) ORDER BY id) AS postings
+           array_to_string(list(CAST(id AS BIGINT) ORDER BY id), ',') AS postings
     FROM pairs GROUP BY term
     """,
 )
@@ -2584,10 +2584,23 @@ def q_inverted_index(spark, sf_dir):
     retrieval story next to bm25_search's fixed-probe scan): explode
     the per-doc DISTINCT vocabulary, ONE groupBy(term) with sorted
     collect_list. Zipf head-term skew is an AQE-split shuffle concern,
-    not a correctness one."""
+    not a correctness one.
+
+    The library operator (operators/retrieval.py inverted_index)
+    returns ``postings`` as array<long>; the REGISTERED projection
+    serializes it to a comma-joined string because the round driver's
+    pandas canonicalizer sorts the result frame and cannot factorize
+    list cells (r4 red: ``TypeError: unhashable type: 'list'``).
+    tests/test_driver_conformance.py enforces the same rule for every
+    registered query."""
     from .operators.retrieval import inverted_index
 
-    return inverted_index(_docs(spark, sf_dir))
+    idx = inverted_index(_docs(spark, sf_dir))
+    return idx.select(
+        "term",
+        "df",
+        F.array_join(F.transform("postings", lambda x: x.cast("string")), ",").alias("postings"),
+    )
 
 
 @register(
@@ -3330,6 +3343,46 @@ def q_compression_ratio(spark, sf_dir):
 
 
 @register(
+    "compression_ratio_meta",
+    """
+    WITH w AS (SELECT doc_id AS id, length(text) AS n_chars,
+                      string_split(text, ' ') AS ws
+               FROM documents)
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           CAST(CASE WHEN len(ws) > 0
+                THEN floor(CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) * 1000000 + 0.5) / 1000000
+                ELSE 0.0 END AS DOUBLE) AS distinct_word_frac
+    FROM w
+    """,
+)
+def q_compression_ratio_meta(spark, sf_dir):
+    """Hash-attestable companion to the rows-only `compression_ratio`
+    query (r4 verdict #6): the SQL-expressible half of the
+    compressibility signal — per-doc char count, word count, and
+    distinct-word fraction (the classic cheap proxy for the zlib
+    ratio: near-0 distinct_word_frac ⇒ pathological repetition ⇒ low
+    deflate ratio). Pure built-in expressions (split / size /
+    array_distinct), zero shuffle, exact DuckDB oracle; the zlib ratio
+    itself stays in `compression_ratio` under the rows-only check with
+    pytest value goldens."""
+    docs = _docs(spark, sf_dir)
+    ws = F.split(F.col("text"), " ")
+    nw = F.size(ws)
+    frac = F.when(
+        nw > 0,
+        F.floor(F.size(F.array_distinct(ws)).cast("double") / nw * 1000000 + F.lit(0.5)) / 1000000,
+    ).otherwise(F.lit(0.0))
+    return docs.select(
+        _b("doc_id").alias("id"),
+        F.length("text").cast("long").alias("n_chars"),
+        nw.cast("long").alias("n_words"),
+        frac.cast("double").alias("distinct_word_frac"),
+    )
+
+
+@register(
     "dedup_substring",
     """
     WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
@@ -3573,14 +3626,44 @@ _R3_ATTESTED = [
 ]
 
 
+# r4's window attested the 42 then-never-attested queries plus the first
+# 8 entries of _R3_ATTESTED (CORRECTNESS_r04.json).  The r5 window must
+# therefore cover: the remaining 42 anchors (no r4 row), queries whose
+# REGISTERED plan changed this round, and new r5 registrations.
+_R4_REATTESTED = _R3_ATTESTED[:8]
+
+# Registered plan changed in r5 → needs fresh attestation:
+#   inverted_index  — r4 driver-red; postings now serialized to a string
+#   token_budget_mix — skew-hardened (range-bucket prefix sum per language)
+#   curate_corpus   — extended with substring/mix/split stages (also in
+#                     the stale-anchor set below, listed here for clarity)
+_R5_CHANGED = ["inverted_index", "token_budget_mix"]
+
+# New r5 registrations (window arithmetic: 42 stale + 2 changed + these
+# must stay ≤ 50 — at most 6 new oracle queries this round).
+_R5_NEW: list[str] = [
+    "compression_ratio_meta",
+]
+
+
 def _reorder_for_driver_window() -> None:
-    attested = [n for n in _R3_ATTESTED if n in QUERIES]
-    front = [n for n in QUERIES if n not in set(attested)]
-    ordered = front + attested
+    stale = [n for n in _R3_ATTESTED if n not in _R4_REATTESTED and n in QUERIES]
+    front = [n for n in _R5_CHANGED + _R5_NEW if n in QUERIES]
+    front += [n for n in stale if n not in front]
+    assert len(front) <= 50, f"driver window overflow: {len(front)} > 50"
+    rest = [n for n in QUERIES if n not in set(front)]
+    ordered = front + rest
     assert set(ordered) == set(QUERIES)
     reordered = {n: QUERIES[n] for n in ordered}
     QUERIES.clear()
     QUERIES.update(reordered)
+
+
+def driver_window(n: int = 50) -> tuple[list[str], list[str]]:
+    """(inside, outside) the driver's n-row attestation window — used to
+    record per-round window membership in ROUND_NOTES (r4 ADVICE)."""
+    names = list(QUERIES)
+    return names[:n], names[n:]
 
 
 _reorder_for_driver_window()

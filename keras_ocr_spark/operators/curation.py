@@ -363,7 +363,9 @@ def token_budget_mix(
     default_budget: int,
     lang_col: str = "lang",
     id_col: str = "doc_id",
+    text_col: str = "text",
     tokens_col: "Column | None" = None,
+    n_order_buckets: int = 64,
 ) -> DataFrame:
     """Per-language token budgeting — the data-MIXING primitive of a
     pretraining pipeline: each language keeps documents, in a
@@ -371,28 +373,61 @@ def token_budget_mix(
     exhausted (every kept row's inclusive running total fits the
     budget; the first crossing row is excluded).
 
-    Scale shape: ONE window partitioned by the language (each stratum
-    sorts independently — no global order, the same scalable window
-    shape as stratified_sample), budget lookup is a literal CASE
-    projection. The md5 order makes the kept set stable across runs,
-    engines and partitionings — df.sample() can do none of that.
+    Scale shape (skew-hardened, r5): the naive form — one window
+    partition per language — serializes the dominant language's whole
+    stratum into ONE task (English ≈ half a real corpus). Instead the
+    md5 order key is range-bucketed by its leading 16 bits (monotone in
+    the key, uniform because md5 is), the running sum is computed per
+    (lang, bucket) window task, and per-bucket prefix offsets — a tiny
+    ``n_langs × n_order_buckets`` frame — are window-summed and
+    broadcast-joined back. Identical values to the single-window form
+    (the buckets are a monotone coarsening of the (md5, id) order;
+    pinned by the DuckDB oracle, which stays the partition-less SUM
+    OVER), but the hot language now parallelizes ``n_order_buckets``
+    ways. Budget lookup is a literal CASE projection. The md5 order
+    makes the kept set stable across runs, engines and partitionings —
+    df.sample() can do none of that.
 
     Output: (id, lang, n_tokens, cum_tokens), kept rows only.
     """
-    toks = tokens_col if tokens_col is not None else F.size(F.split(F.col("text"), " ", -1))
+    toks = tokens_col if tokens_col is not None else F.size(F.split(F.col(text_col), " ", -1))
     budget = F.lit(int(default_budget))
     for lang, b in sorted(budgets.items()):
         budget = F.when(F.col("lang") == lang, F.lit(int(b))).otherwise(budget)
-    w = (
-        W.partitionBy("lang")
-        .orderBy(F.md5(F.col("id").cast("string")), F.col("id"))
+    n_b = max(1, int(n_order_buckets))
+    ok = F.md5(F.col("id").cast("string"))
+    staged = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(lang_col).alias("lang"),
+            toks.cast("long").alias("n_tokens"),
+        )
+        .withColumn("_ok", ok)
+        # leading 16 bits of the hex key -> bucket; integer division by a
+        # constant preserves order, so bucket is monotone in _ok
+        .withColumn(
+            "_rb",
+            (F.conv(F.substring("_ok", 1, 4), 16, 10).cast("long") * n_b / 65536).cast("int"),
+        )
+    )
+    w_local = (
+        W.partitionBy("lang", "_rb")
+        .orderBy("_ok", "id")
         .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    staged = df.select(
-        F.col(id_col).alias("id"),
-        F.col(lang_col).alias("lang"),
-        toks.cast("long").alias("n_tokens"),
-    ).withColumn("cum_tokens", F.sum("n_tokens").over(w))
-    return staged.filter(F.col("cum_tokens") <= budget).select(
+    staged = staged.withColumn("_local_cum", F.sum("n_tokens").over(w_local))
+    w_prefix = (
+        W.partitionBy("lang").orderBy("_rb").rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = (
+        staged.groupBy("lang", "_rb")
+        .agg(F.sum("n_tokens").alias("_bucket_total"))
+        .withColumn("_offset", F.coalesce(F.sum("_bucket_total").over(w_prefix), F.lit(0)))
+        .select("lang", "_rb", "_offset")
+    )
+    out = staged.join(F.broadcast(offsets), ["lang", "_rb"]).withColumn(
+        "cum_tokens", F.col("_offset") + F.col("_local_cum")
+    )
+    return out.filter(F.col("cum_tokens") <= budget).select(
         "id", "lang", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
     )

@@ -400,6 +400,16 @@ def simhash_near_pairs(
     of its other shared blocks stays under the cap, so only pairs whose
     every common block is hot are lost (and a corpus like that should
     run exact_dedup first). Default None = exhaustive (oracle-exact).
+
+    Fault-tolerance note (r4 ADVICE): the fingerprint frame is
+    materialized via LAZY ``localCheckpoint`` — executor-local,
+    unreplicated, and NOT recomputable: losing an executor mid-query
+    fails the job instead of recomputing, and no handle survives to
+    unpersist the blocks (Spark's ContextCleaner reclaims them). Fine
+    for interactive/bench sessions (one int64 per doc); long-lived or
+    fault-sensitive deployments should write the fingerprints with
+    :func:`simhash_fingerprints` + ``.write`` (the persisted-store
+    path) and join against that instead.
     """
     n_blocks = 4
     if max_hamming > n_blocks - 1:

@@ -74,9 +74,15 @@ def _real_decode(payload: bytes, kind: str, dim: int = 8) -> list:
         except ImportError:
             import cv2
 
-            arr = cv2.imdecode(np.frombuffer(payload, dtype="uint8"), cv2.IMREAD_GRAYSCALE).astype(
-                "float64"
-            )
+            decoded = cv2.imdecode(np.frombuffer(payload, dtype="uint8"), cv2.IMREAD_GRAYSCALE)
+            if decoded is None:
+                # cv2 signals an undecodable payload with None rather than
+                # raising; dereferencing it would fail the whole Spark task
+                # on one dirty row.
+                raise ValueError(
+                    f"undecodable image payload ({len(payload)} bytes): cv2.imdecode returned None"
+                )
+            arr = decoded.astype("float64")
         rows = np.array_split(arr.mean(axis=1), dim)
         return [float(r.mean()) / 255.0 if r.size else 0.0 for r in rows]
     if kind == "audio" and caps["audio"]:

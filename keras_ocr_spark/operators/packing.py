@@ -64,16 +64,20 @@ def with_global_cumsum(
     The input must be DETERMINISTIC under recomputation: the collected
     per-bucket totals come from the cached pass, while the output job
     recomputes the frame after unpersist — a nondeterministic upstream
-    (``sample()`` without a seed, ``monotonically_increasing_id``,
-    ``rand``) can silently disagree with the offsets. Enforced
-    structurally: nondeterministic Spark expressions make the plan's
-    ``deterministic`` flag false, which we assert here."""
+    can silently disagree with the offsets. The structural guard below
+    catches expression-level nondeterminism ONLY (``rand``,
+    ``monotonically_increasing_id``: these flip the analyzed plan's
+    ``deterministic`` flag). It does NOT catch ``df.sample()`` (Spark
+    fixes a seed at plan-build time, so the plan reports deterministic)
+    nor cross-run divergence from partition-layout changes between the
+    cached collect and the post-unpersist recompute — for those,
+    callers must materialize (checkpoint/write) upstream themselves."""
     if not df._jdf.queryExecution().analyzed().deterministic():
         raise ValueError(
             "with_global_cumsum requires a deterministic input frame: "
             "the per-bucket totals are collected from one computation "
             "and the output job recomputes the input — nondeterministic "
-            "expressions (rand/sample/monotonically_increasing_id) would "
+            "expressions (rand/monotonically_increasing_id) would "
             "silently produce wrong offsets"
         )
     df = df.persist()

@@ -528,6 +528,15 @@ def all_pairs_above(
     ``fast`` uses the numpy bucket kernel (identical values, see
     :func:`lsh_bucket_udf`); the expression path remains for no-Python
     plans.
+
+    Fault-tolerance note (r4 ADVICE): ``fast=True`` materializes the
+    bucketed projection via LAZY ``localCheckpoint`` — executor-local,
+    unreplicated, NOT recomputable: an executor loss mid-query fails
+    the job rather than recomputing, and the blocks are reclaimed only
+    by Spark's ContextCleaner (no unpersist handle). ``fast=False``
+    opts out (pure-expression plan, fully recomputable); at real
+    cluster scale prefer :func:`write_bucketed_store` and join against
+    the persisted buckets.
     """
     bucket = (
         lsh_bucket_udf(dim, n_planes, seed)(F.col(vec_col))

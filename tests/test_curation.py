@@ -591,6 +591,51 @@ class TestTokenBudgetMix:
         plan = C.token_budget_mix(df, {}, 100)._jdf.queryExecution().executedPlan().toString()
         assert "SinglePartition" not in plan
 
+    def test_bucketed_cumsum_equals_naive_under_skew(self, spark):
+        """The r5 skew-hardened form (md5-prefix range buckets +
+        broadcast prefix offsets) must be value-identical to the
+        textbook per-language running sum it replaces — checked on a
+        0.9-skew corpus (the exact hot-language shape the bucketing
+        exists for), across bucket counts including n=1 (degenerate =
+        naive)."""
+        import hashlib
+
+        rows = [
+            (i, "en" if i % 10 else "de", " ".join(["w"] * (3 + i % 11))) for i in range(400)
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+
+        def naive():
+            per_lang = {}
+            for i, lang, text in rows:
+                per_lang.setdefault(lang, []).append((hashlib.md5(str(i).encode()).hexdigest(), i, len(text.split(" "))))
+            out = {}
+            for lang, docs in per_lang.items():
+                cum = 0
+                for _h, i, n in sorted(docs):
+                    cum += n
+                    if cum <= 10_000:
+                        out[i] = (lang, n, cum)
+            return out
+
+        expect = naive()
+        for n_buckets in (1, 8, 64):
+            got = {
+                r.id: (r.lang, r.n_tokens, r.cum_tokens)
+                for r in C.token_budget_mix(
+                    df, {}, default_budget=10_000, n_order_buckets=n_buckets
+                ).collect()
+            }
+            assert got == expect, f"n_order_buckets={n_buckets} diverged from naive cumsum"
+
+    def test_text_col_parameter(self, spark):
+        # ADVICE r4: a differently named text column must work via text_col
+        df = spark.createDataFrame(
+            [(1, "x", "a b c")], "doc_id long, lang string, body string"
+        )
+        got = C.token_budget_mix(df, {}, default_budget=100, text_col="body").collect()
+        assert got[0].n_tokens == 3
+
 
 class TestCompressionRatioFullParity:
     def test_spark_equals_pure_python_on_sf_documents(self, spark):
