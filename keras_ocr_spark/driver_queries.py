@@ -1490,9 +1490,9 @@ def q_sessionize_stateful(spark, sf_dir):
       UNION
       SELECT e.u, reach.r FROM edges e JOIN reach ON reach.id = e.v),
     comp AS (SELECT id, min(r) AS keeper FROM reach GROUP BY id),
-    keepers AS (
-      SELECT d.doc_id AS id FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
-      WHERE coalesce(c.keeper, d.doc_id) = d.doc_id),
+    resolved AS (
+      SELECT d.doc_id AS id, coalesce(c.keeper, d.doc_id) AS keeper_id
+      FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
     feats AS (
       SELECT doc_id AS id, length(text) AS n_chars,
              len(string_split(text, ' ')) AS n_words,
@@ -1505,39 +1505,101 @@ def q_sessionize_stateful(spark, sf_dir):
              least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
              + least((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
              + (CAST(1.0 AS DOUBLE) - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE) AS quality
-      FROM feats)
-    SELECT CAST(s.id AS BIGINT) AS id,
-           CAST(s.n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
-           CAST(floor(s.quality * 1000000 + 0.5) / 1000000 AS DOUBLE) AS quality
-    FROM scored s JOIN keepers k ON k.id = s.id
-    WHERE floor(s.quality * 1000000 + 0.5) / 1000000 >= CAST(0.5 AS DOUBLE)
+      FROM feats),
+    surv AS (
+      SELECT r.id, r.keeper_id, s.n_bpe_tokens,
+             floor(s.quality * 1000000 + 0.5) / 1000000 AS quality
+      FROM resolved r JOIN scored s ON s.id = r.id
+      WHERE r.id = r.keeper_id
+        AND floor(s.quality * 1000000 + 0.5) / 1000000 >= CAST(0.5 AS DOUBLE)),
+    sw AS (SELECT d.doc_id AS id, string_split(d.text, ' ') AS ws
+           FROM documents d JOIN surv ON surv.id = d.doc_id),
+    sg0 AS (
+      SELECT id, list_transform(range(1, len(ws) - 3),
+                 i -> md5(array_to_string(list_slice(ws, i, i + 4), ' '))) AS grams
+      FROM sw WHERE len(ws) >= 5),
+    sg AS (SELECT id, generate_subscripts(grams, 1) AS pos, unnest(grams) AS h FROM sg0),
+    sdup AS (SELECT h FROM sg GROUP BY h HAVING count(*) > 1),
+    sds AS (SELECT sg.id, sg.pos FROM sg JOIN sdup USING (h)),
+    swx AS (SELECT id, generate_subscripts(ws, 1) AS wpos FROM sw),
+    scov AS (SELECT DISTINCT swx.id, swx.wpos
+             FROM swx JOIN sds ON swx.id = sds.id AND swx.wpos BETWEEN sds.pos AND sds.pos + 4),
+    sagg AS (SELECT id, count(*) AS dup_words FROM scov GROUP BY id),
+    subs AS (
+      SELECT sw.id,
+             CAST(CASE WHEN len(sw.ws) > 0
+                  THEN floor(CAST(COALESCE(sagg.dup_words, 0) AS DOUBLE) / len(sw.ws) * 1000000 + 0.5) / 1000000
+                  ELSE 0.0 END AS DOUBLE) AS dup_frac
+      FROM sw LEFT JOIN sagg ON sw.id = sagg.id),
+    gated AS (
+      SELECT surv.id, surv.keeper_id, surv.n_bpe_tokens, surv.quality, subs.dup_frac
+      FROM surv JOIN subs ON subs.id = surv.id
+      WHERE subs.dup_frac <= CAST(0.5 AS DOUBLE)
+        AND substr(md5(CAST(surv.keeper_id AS VARCHAR)), 1, 1) NOT IN ('0','1','2','3')),
+    mix AS (
+      SELECT g.id, d.lang, g.n_bpe_tokens, g.quality, g.dup_frac,
+             sum(g.n_bpe_tokens) OVER (PARTITION BY d.lang
+                                       ORDER BY md5(CAST(g.id AS VARCHAR)), g.id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tokens
+      FROM gated g JOIN documents d ON d.doc_id = g.id)
+    SELECT CAST(id AS BIGINT) AS id, lang,
+           CAST(n_bpe_tokens AS BIGINT) AS n_bpe_tokens,
+           CAST(quality AS DOUBLE) AS quality,
+           dup_frac,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM mix
+    WHERE cum_tokens <= (CASE WHEN lang = 'en' THEN 3000 ELSE 1000 END)
     """,
 )
 def q_curate_corpus(spark, sf_dir):
     """The END-TO-END CURATION PIPELINE in one plan — what this engine
-    exists to run at 100 TB: near-dup clusters resolved to one keeper
-    per cluster (minhash LSH candidates -> exact-Jaccard verify ->
+    exists to run at 100 TB, now spanning the full r4 operator set (r4
+    verdict Next #7): near-dup clusters resolved to one keeper per
+    cluster (minhash LSH candidates -> exact-Jaccard verify ->
     large-star/small-star closure), keepers gated by the quality score,
-    token counts attached for budget accounting. Exact dups are
-    subsumed (Jaccard 1 -> same cluster). Composition of dedup_resolve
-    + quality_scores + token_counts; the oracle composes the same CTEs,
-    so the whole pipeline value-hash-matches end to end."""
-    from .operators.clusters import resolve_duplicates
+    then by EXACT substring-span duplication over the survivors (Lee et
+    al. 2022 — dup_frac <= 0.5), leakage-safe train/test split keyed on
+    the cluster label (test side held out), and finally the
+    per-language token-budget mix (en 3000 BPE-ish tokens, others 1000
+    — both genuinely truncate at sf0.01) assembling the training
+    corpus in deterministic md5 order. Exact dups are subsumed
+    (Jaccard 1 -> same cluster). Output: the assembled train-side rows
+    with quality, dup_frac and inclusive running token totals. The
+    oracle composes the same stages as CTEs, so the whole pipeline
+    value-hash-matches end to end."""
+    from .operators.clusters import leakage_safe_split
+    from .operators.curation import token_budget_mix
 
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
-    keepers = resolve_duplicates(docs, pairs, id_col="doc_id").filter("is_keeper").select("id")
+    split = leakage_safe_split(docs, pairs, id_col="doc_id")
+    keepers = split.filter(F.col("id") == F.col("keeper_id"))
     quality = TS.quality_scores(docs).select("id", "quality")
     tokens = TS.token_counts(docs).select("id", "n_bpe_tokens")
-    out = (
-        keepers.join(quality, "id")
-        .join(tokens, "id")
-        .filter(F.col("quality") >= 0.5)
+    surv = keepers.join(quality, "id").join(tokens, "id").filter(F.col("quality") >= 0.5)
+    surv_docs = docs.join(surv.select(F.col("id").alias("doc_id")), "doc_id")
+    subs = D.substring_dup_stats(surv_docs, k=5).select("id", "dup_frac")
+    gated = (
+        surv.join(subs, "id")
+        .filter((F.col("dup_frac") <= 0.5) & (F.col("split") == "train"))
+        .select("id", "n_bpe_tokens", "quality", "dup_frac")
     )
+    lang = docs.select(F.col("doc_id").alias("id"), "lang")
+    mixed = token_budget_mix(
+        gated.join(lang, "id"),
+        {"en": 3000},
+        default_budget=1000,
+        id_col="id",
+        tokens_col=F.col("n_bpe_tokens"),
+    )
+    out = mixed.join(gated.select("id", "quality", "dup_frac"), "id")
     return out.select(
         F.col("id").cast("long").alias("id"),
-        F.col("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+        "lang",
+        F.col("n_tokens").cast("long").alias("n_bpe_tokens"),
         pround(F.col("quality"), 6).alias("quality"),
+        F.col("dup_frac").cast("double").alias("dup_frac"),
+        F.col("cum_tokens").cast("long").alias("cum_tokens"),
     )
 
 
