@@ -58,7 +58,7 @@ def synth_docs(spark, n: int):
     )
     return (
         spark.range(n)
-        .repartition(64)
+        .repartition(max(64, n // 100_000))
         .select(
             F.col("id").alias("doc_id"),
             F.concat_ws(" ", F.concat(body, tail)).alias("text"),
@@ -68,7 +68,11 @@ def synth_docs(spark, n: int):
 
 def main() -> int:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    spark = build_session(app_name="stress_curation", master="local[32]", shuffle_partitions=64)
+    # Partition counts scale with the corpus so the 10M-doc run's
+    # ~700M-digest shuffle doesn't pile ~11M rows into each of 64
+    # reducers: ~40k docs per shuffle partition, capped at 512.
+    shuffle = max(64, min(512, n // 40_000))
+    spark = build_session(app_name="stress_curation", master="local[32]", shuffle_partitions=shuffle)
     docs = synth_docs(spark, n).persist()
     t0 = time.time()
     n_docs = docs.count()
@@ -83,6 +87,27 @@ def main() -> int:
     resolved = resolve_duplicates(docs, pairs, id_col="doc_id").persist()
     n_clusters = resolved.filter("is_keeper").count()
     t_resolve = time.time() - t0
+
+    # Leakage-safe split over the resolved clusters (r4 operator; r4
+    # verdict Next #5 asks for it at this scale). Same computation as
+    # operators/clusters.leakage_safe_split but over the ALREADY
+    # persisted `resolved` frame (the operator re-runs the closure from
+    # (docs, pairs); the operator itself is oracle-checked — this
+    # phase's job is the at-scale invariant, not re-deriving closure).
+    # Invariant checked DISTRIBUTED: no cluster straddles the split.
+    t0 = time.time()
+    is_test = F.substring(F.md5(F.col("keeper_id").cast("string")), 1, 1).isin("0", "1", "2", "3")
+    split_df = resolved.select(
+        "id", "keeper_id", F.when(is_test, F.lit("test")).otherwise(F.lit("train")).alias("split")
+    ).persist()
+    split_counts = {r["split"]: r["n"] for r in split_df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    straddle = (
+        split_df.groupBy("keeper_id")
+        .agg(F.countDistinct("split").alias("ns"))
+        .filter(F.col("ns") > 1)
+        .count()
+    )
+    t_split = time.time() - t0
 
     t0 = time.time()
     keepers = resolved.filter("is_keeper").select("id")
@@ -148,6 +173,11 @@ def main() -> int:
         "resolve_s": round(t_resolve, 1),
         "curated_survivors": n_curated,
         "gate_s": round(t_gate, 1),
+        "split_train": int(split_counts.get("train", 0)),
+        "split_test": int(split_counts.get("test", 0)),
+        "clusters_straddling_split": straddle,
+        "split_s": round(t_split, 1),
+        "shuffle_partitions": shuffle,
         "packed_total_tokens": int(total_tokens),
         "packed_chunks": int(n_chunks),
         "packed_prefix_sum_exact": packed_ok,
@@ -160,7 +190,7 @@ def main() -> int:
         "scan_partitions": docs.rdd.getNumPartitions(),
     }
     print(json.dumps(out))
-    return 0 if (recall >= 0.995 and packed_ok and (planted_dup_frac or 0) > 0.9) else 1
+    return 0 if (recall >= 0.995 and packed_ok and (planted_dup_frac or 0) > 0.9 and straddle == 0) else 1
 
 
 if __name__ == "__main__":
