@@ -73,6 +73,14 @@ BENCH_QUERIES_R4 = [
     "strip_boilerplate",
 ]
 
+#: Added in round 5: bigram LM scoring, containment dedup, and the
+#: skew-hardened token-budget mix.
+BENCH_QUERIES_R5 = [
+    "bigram_logprob",
+    "dedup_containment",
+    "token_budget_mix",
+]
+
 #: Per-query repetitions; min wall is reported. This box shows 3x+
 #: minute-to-minute noise (neighbor steal — ROUND_NOTES); a single-shot
 #: bench read in a noisy window recorded a phantom +13% regression in
@@ -132,7 +140,7 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--cpus", type=int, default=int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
-    ap.add_argument("--queries", default=",".join(BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3 + BENCH_QUERIES_R4))
+    ap.add_argument("--queries", default=",".join(BENCH_QUERIES + BENCH_QUERIES_R2 + BENCH_QUERIES_R3 + BENCH_QUERIES_R4 + BENCH_QUERIES_R5))
     ap.add_argument("--skip-transcripts", action="store_true")
     ap.add_argument(
         "--quiet-threshold",
@@ -233,7 +241,7 @@ def main() -> int:
     throughput = round(turns / extract_sec, 1) if extract_sec else None
     r01_subtotal = sum(
         v for k, v in queries.items()
-        if k not in BENCH_QUERIES_R2 and k not in BENCH_QUERIES_R3 and k not in BENCH_QUERIES_R4
+        if k not in BENCH_QUERIES_R2 and k not in BENCH_QUERIES_R3 and k not in BENCH_QUERIES_R4 and k not in BENCH_QUERIES_R5
     )
     print(
         json.dumps(

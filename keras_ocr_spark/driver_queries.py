@@ -3107,6 +3107,91 @@ def q_unigram_logprob(spark, sf_dir):
 
 
 @register(
+    "bigram_logprob",
+    """
+    WITH w AS (SELECT doc_id AS id, string_split(text, ' ') AS ws FROM documents),
+    bg AS (SELECT id, unnest(list_transform(range(1, len(ws)), i -> {'w1': ws[i], 'w2': ws[i+1]})) AS b
+           FROM w WHERE len(ws) >= 2),
+    flat AS (SELECT id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+    bc AS (SELECT w1, w2, count(*) AS c2 FROM flat GROUP BY w1, w2),
+    uc AS (SELECT w1, count(*) AS c1 FROM flat GROUP BY w1),
+    vocab AS (SELECT count(DISTINCT word) AS v
+              FROM (SELECT unnest(ws) AS word FROM w) t)
+    SELECT CAST(f.id AS BIGINT) AS id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(floor(avg(ln((bc.c2 + 1.0) / (uc.c1 + 1.0 * vocab.v))) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_logprob
+    FROM flat f JOIN bc USING (w1, w2) JOIN uc USING (w1), vocab
+    GROUP BY f.id
+    """,
+)
+def q_bigram_logprob(spark, sf_dir):
+    """CCNet-style perplexity filtering one order up from the unigram
+    screen: mean add-1-smoothed bigram log-prob per doc under the
+    corpus's own bigram table — word-salad with plausible words but
+    implausible ORDER scores low here and passes unigram_logprob.
+    Bigrams are per-row array algebra (no shuffle to build); one
+    groupBy each for the bigram/context tables, vocab size as a 1-row
+    broadcast, then the scoring join + per-doc mean."""
+    return TS.bigram_logprob(_docs(spark, sf_dir))
+
+
+@register(
+    "dedup_containment",
+    """
+    WITH aug AS (
+      SELECT doc_id AS id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 10000000 AS id,
+             array_to_string(list_slice(string_split(text, ' '), 3, 12), ' ') AS text
+      FROM documents
+      WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 15),
+    sh0 AS (
+      SELECT id,
+             list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+                           i -> array_to_string(list_slice(string_split(text,' '), i, i+2), ' '))) AS shingles
+      FROM aug
+      WHERE len(string_split(text,' ')) >= 3),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(sa.n_shingles AS BIGINT) AS n_a,
+           CAST(sb.n_shingles AS BIGINT) AS n_b,
+           CAST(floor(CAST(n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS containment
+    FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+    WHERE CAST(n_common AS DOUBLE) / least(sa.n_shingles, sb.n_shingles) >= CAST(0.8 AS DOUBLE)
+    """,
+)
+def q_dedup_containment(spark, sf_dir):
+    """Containment dedup — the asymmetric-overlap case Jaccard misses:
+    a short doc quoted wholesale inside a longer one has tiny Jaccard
+    but containment ≈ 1. Input augmented identically in both engines
+    with interior excerpts (10 words from position 3 of every 7th doc)
+    so the high-containment/low-Jaccard regime is actually exercised:
+    every planted excerpt must surface with containment 1.0. Exact
+    shingle equi-join (deliberately NOT LSH-seeded — MinHash-band
+    recall is Jaccard-driven, which would drop exactly these pairs)."""
+    docs = _t(spark, sf_dir, "documents")
+    ws = F.split(F.col("text"), " ")
+    excerpts = docs.filter((F.col("doc_id") % 7 == 0) & (F.size(ws) >= 15)).select(
+        (F.col("doc_id") + 10000000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(ws, 3, 10)).alias("text"),
+    )
+    aug = docs.select("doc_id", "text").unionByName(excerpts)
+    out = D.containment_pairs(aug, threshold=0.8)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        "n_a",
+        "n_b",
+        F.col("containment").cast("double").alias("containment"),
+    )
+
+
+@register(
     "stream_stream_attribution",
     """
     SELECT CAST(a.user_id AS BIGINT) AS user_id,
@@ -3705,6 +3790,8 @@ _R5_CHANGED = ["inverted_index", "token_budget_mix"]
 # must stay ≤ 50 — at most 6 new oracle queries this round).
 _R5_NEW: list[str] = [
     "compression_ratio_meta",
+    "bigram_logprob",
+    "dedup_containment",
 ]
 
 

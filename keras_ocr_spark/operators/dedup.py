@@ -97,6 +97,61 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle CONTAINMENT >= threshold, where
+    containment = |A ∩ B| / min(|A|, |B|) — the asymmetric-overlap
+    signal Jaccard systematically misses: a short doc quoted wholesale
+    inside a much longer one has Jaccard ≈ |A|/|B| (tiny) but
+    containment ≈ 1. The standard dedup battery runs BOTH (Jaccard for
+    same-size near-dups, containment for inclusion/quoting); exact
+    substring-span dedup (:func:`substring_dup_stats`) then excises
+    what containment flags.
+
+    Same plan shape as :func:`ngram_jaccard_pairs`: one shingle
+    equi-join (set semantics — shingle_docs emits distinct shingles),
+    two size joins, per-pair agg. Deliberately NOT LSH-seeded:
+    MinHash-band candidate recall is a function of Jaccard, so exactly
+    the high-containment/low-Jaccard pairs this operator exists for
+    would be the ones LSH drops. ``max_shingle_df`` is the hot-key
+    guard at scale (boilerplate shingles), same contract as
+    ngram_jaccard_pairs.
+
+    Output: (id_a, id_b, n_a, n_b, containment).
+    """
+    sh = shingle_docs(df, id_col, text_col, k)
+    if max_shingle_df is not None:
+        hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_shingles", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_shingles", "n_b"), "id_b")
+        .withColumn("containment", F.col("n_common") / F.least("n_a", "n_b"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            pround(F.col("containment"), 6).alias("containment"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     n_hashes: int = 16,

@@ -135,6 +135,62 @@ def unigram_logprob(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+def bigram_logprob(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", alpha: float = 1.0
+) -> DataFrame:
+    """CCNet-style LM-perplexity filtering, one order up from
+    :func:`unigram_logprob`: each doc's mean add-alpha-smoothed bigram
+    log-probability ln((c(w1,w2)+α) / (c(w1·)+α·V)) under the corpus's
+    OWN bigram distribution. Word-salad that passes the unigram screen
+    (right words, wrong order) scores low here; docs with < 2 words are
+    excluded (no bigrams to score).
+
+    Plan shape: bigrams are per-row array algebra (transform over
+    sequence — no shuffle to BUILD them), then ONE groupBy for the
+    bigram table, ONE for the context counts, vocabulary size as a
+    1-row broadcast, and the scoring join + per-doc mean. The bigram
+    table is corpus-sized-vocab² in theory but Zipf-sparse in practice;
+    at 100 TB prune it with a min-count floor before the scoring join
+    (the classic KenLM pruning — changes values, so the exact form here
+    keeps the oracle bit-true) and REUSE the written table across runs.
+
+    Output: (id, n_bigrams, avg_logprob).
+    """
+    words = words_expr(F.col(text_col))
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 1),
+            lambda i: F.struct(
+                F.element_at(words, i).alias("w1"), F.element_at(words, i + 1).alias("w2")
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    flat = df.select(F.col(id_col).alias("id"), F.explode(bigrams).alias("b")).select(
+        "id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
+    )
+    bc = flat.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    uc = flat.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = df.select(F.explode(words_expr(F.col(text_col))).alias("word")).agg(
+        F.countDistinct("word").alias("v")
+    )
+    scored = (
+        flat.join(bc, ["w1", "w2"])
+        .join(uc, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "id",
+            F.log(
+                (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_bigrams"),
+        pround(F.avg("lp"), 6).alias("avg_logprob"),
+    )
+
+
 def compression_ratios(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """zlib compression ratio per document — the classic curation
     signal SQL cannot express (Gopher/CCNet use it both ways: ratios

@@ -77,6 +77,22 @@ HEADLINERS = {
         "span union is per-row array algebra, zero Python",
         {"python_nodes": ("==", 0), "cartesian": ("==", 0), "bnlj": ("==", 0)},
     ),
+    "token_budget_mix": (
+        "skew-hardened mix (r5): running sum windows on (lang, md5-prefix "
+        "bucket) — the hot language parallelizes across buckets, no "
+        "SinglePartition anywhere; prefix offsets broadcast back",
+        {"single_partition": ("==", 0), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "bigram_logprob": (
+        "bigram LM scoring: per-row bigram algebra, two count aggs, vocab "
+        "as the one allowed 1-row-broadcast BNLJ, scoring equi-join",
+        {"cartesian": ("==", 0), "python_nodes": ("==", 0), "bnlj": ("<=", 1)},
+    ),
+    "dedup_containment": (
+        "containment pairs: exact shingle equi-join (not LSH-seeded by "
+        "design); no cartesian/BNLJ, zero Python",
+        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+    ),
 }
 
 

@@ -250,6 +250,69 @@ class TestTextStats:
         assert a == b and len(set(a.values())) == 3
 
 
+class TestBigramLogprob:
+    def test_matches_hand_computation(self, spark):
+        import math
+
+        df = spark.createDataFrame(
+            [(0, "a b a b"), (1, "b a"), (2, "c")], "doc_id int, text string"
+        )
+        # corpus bigrams: doc0 -> (a,b),(b,a),(a,b); doc1 -> (b,a); doc2 none
+        # c2: (a,b)=2, (b,a)=2 ; c1: a=2 (wait: a as w1 occurs in (a,b)x2) ...
+        rows = {r.id: r for r in TS.bigram_logprob(df).collect()}
+        V = 3  # vocab {a, b, c}
+        lp_ab = math.log((2 + 1) / (2 + V))  # c2(a,b)=2, c1(a)=2
+        lp_ba = math.log((2 + 1) / (2 + V))  # c2(b,a)=2, c1(b)=2
+        exp0 = (lp_ab + lp_ba + lp_ab) / 3
+        assert rows[0].n_bigrams == 3
+        assert abs(rows[0].avg_logprob - exp0) < 1e-5
+        assert rows[1].n_bigrams == 1
+        assert abs(rows[1].avg_logprob - lp_ba) < 1e-5
+        assert 2 not in rows  # single-word doc has no bigrams
+
+    def test_word_salad_scores_lower_than_fluent(self, spark):
+        # Same words; doc 1 repeats the corpus-dominant order, doc 9
+        # scrambles it -> rare bigrams -> lower mean logprob.
+        fluent = [(i, "the cat sat on the mat") for i in range(9)]
+        df = spark.createDataFrame(
+            fluent + [(9, "mat the on sat cat the")], "doc_id int, text string"
+        )
+        rows = {r.id: r.avg_logprob for r in TS.bigram_logprob(df).collect()}
+        assert rows[9] < rows[0]
+
+
+class TestContainmentPairs:
+    def test_quote_inclusion_found_where_jaccard_misses(self, spark):
+        long_words = [f"w{i}" for i in range(40)]
+        excerpt = " ".join(long_words[5:13])  # 8 interior words
+        df = spark.createDataFrame(
+            [(0, " ".join(long_words)), (1, excerpt), (2, "zz yy xx ww vv")],
+            "doc_id int, text string",
+        )
+        pairs = D.containment_pairs(df, threshold=0.8).collect()
+        assert len(pairs) == 1
+        p = pairs[0]
+        assert (p.id_a, p.id_b) == (0, 1)
+        assert p.containment == 1.0  # every excerpt shingle is in the long doc
+        # the same pair is invisible to Jaccard at any useful threshold
+        jac = D.ngram_jaccard_pairs(df, threshold=0.5).collect()
+        assert jac == []
+
+    def test_hot_shingle_guard(self, spark):
+        # 7 words -> 5 shingles/doc, 4 of them boilerplate shared by all
+        # 10 docs: containment 4/5 = 0.8 without the guard.
+        df = spark.createDataFrame(
+            [(i, "one two three four five six w" + str(i)) for i in range(10)],
+            "doc_id int, text string",
+        )
+        unpruned = D.containment_pairs(df, threshold=0.8).collect()
+        assert len(unpruned) == 45  # every pair, via boilerplate alone
+        # df ceiling 5 prunes the shared shingles -> only the unique
+        # trailing shingle survives per doc -> no pairs at all
+        pruned = D.containment_pairs(df, threshold=0.8, max_shingle_df=5).collect()
+        assert pruned == []
+
+
 class TestMultimodal:
     def test_feature_extraction_deterministic(self, spark):
         media = M.synth_media(spark, n=12)

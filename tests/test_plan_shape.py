@@ -211,6 +211,9 @@ class TestNoAccidentalCartesian:
         # 1-row broadcast of the unigram grand total onto the
         # vocabulary-sized frequency table (both tiny).
         "unigram_logprob",
+        # 1-row broadcast of the vocabulary size onto the scoring join
+        # (same shape as unigram_logprob's grand-total broadcast).
+        "bigram_logprob",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {
