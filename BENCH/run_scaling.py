@@ -80,14 +80,23 @@ def _burn(n):
     return x
 
 
-def hardware_ceiling(n: int, four_n: int) -> dict:
-    """Raw multiprocessing throughput at N vs 4N procs (no Spark)."""
+def _pin_worker(n_cpus):
+    import os
+
+    os.sched_setaffinity(0, set(range(n_cpus)))
+
+
+def hardware_ceiling(n: int, four_n: int, pin: bool = False) -> dict:
+    """Raw multiprocessing throughput at N vs 4N procs (no Spark).
+    With ``pin``, the N-proc pool is affined to CPUs 0..N-1 (matching
+    the pinned Spark child)."""
     import multiprocessing as mp
 
     out = {}
     for procs in (n, four_n):
         tasks = [2_000_000] * procs * 6
-        with mp.Pool(procs) as pool:
+        init = (_pin_worker, (procs,)) if pin else (None, ())
+        with mp.Pool(procs, initializer=init[0], initargs=init[1]) as pool:
             t0 = time.perf_counter()
             pool.map(_burn, tasks)
             out[procs] = len(tasks) * 2_000_000 / (time.perf_counter() - t0)
@@ -99,10 +108,16 @@ def hardware_ceiling(n: int, four_n: int) -> dict:
 
 
 class Child:
-    def __init__(self, cores: int, inp: str):
+    def __init__(self, cores: int, inp: str, pin: bool = False):
         self.cores = cores
+        # pin=True binds the whole JVM (and its Python workers) to CPUs
+        # 0..cores-1 via taskset — "N cores of silicon" rather than "N
+        # threads floating over all 32 cores", the truer small-cluster
+        # analog for the 8->32 pairing the unpinned form leaves
+        # box-limited (r4 verdict Next #8).
+        prefix = ["taskset", "-c", f"0-{cores - 1}"] if pin else []
         self.proc = subprocess.Popen(
-            [sys.executable, "-c", CHILD.format(repo=str(REPO)), str(cores), inp],
+            prefix + [sys.executable, "-c", CHILD.format(repo=str(REPO)), str(cores), inp],
             stdin=subprocess.PIPE,
             stdout=subprocess.PIPE,
             stderr=subprocess.DEVNULL,
@@ -141,6 +156,8 @@ def main() -> int:
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--four-n", type=int, default=32)
+    ap.add_argument("--pin", action="store_true",
+                    help="taskset-pin each level to its own core count (0..N-1)")
     ap.add_argument("--regen-only", action="store_true",
                     help="rewrite BENCH/BASELINE.md + scaling.json from stored runs, no benching")
     args = ap.parse_args()
@@ -172,12 +189,12 @@ def main() -> int:
         print(f"input: {n_turns} turns", flush=True)
 
     print("hardware-ceiling control ...", flush=True)
-    ceiling = hardware_ceiling(args.n, args.four_n)
+    ceiling = hardware_ceiling(args.n, args.four_n, pin=args.pin)
     print(f"  {ceiling}", flush=True)
 
     t_start = time.strftime("%Y-%m-%d %H:%M:%S")
-    lo = Child(args.n, inp)
-    hi = Child(args.four_n, inp)
+    lo = Child(args.n, inp, pin=args.pin)
+    hi = Child(args.four_n, inp, pin=args.pin)
     lo.wait_ready()
     hi.wait_ready()
 
@@ -205,6 +222,7 @@ def main() -> int:
     quiet_eff = quiet["pair_efficiency"]
     result = {
         "timestamp": t_start,
+        "pinned": bool(args.pin),
         "turns": n_turns,
         "n_cores": args.n,
         "four_n_cores": args.four_n,
@@ -234,7 +252,8 @@ def main() -> int:
     if "scaling_efficiency" in existing and "runs" not in existing:
         # migrate the round-1 single-run layout
         runs[f"{existing['n_cores']}->{existing['four_n_cores']}"] = existing
-    runs[f"{args.n}->{args.four_n}"] = result
+    key = f"{args.n}->{args.four_n}" + ("-pinned" if args.pin else "")
+    runs[key] = result
     _write_outputs(runs, sj)
     return 0 if result["pass"] else 1
 
