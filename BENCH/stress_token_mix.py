@@ -55,7 +55,8 @@ def run_once(docs, budgets, default_budget, n_buckets: int):
     row = out.agg(
         F.count("*").alias("n"),
         F.sum("cum_tokens").alias("s"),
-        F.sum(F.xxhash64("id", "cum_tokens")).alias("x"),
+        # bit_xor: order-independent row-set digest, no ANSI long overflow
+        F.expr("bit_xor(xxhash64(id, cum_tokens))").alias("x"),
     ).collect()[0]
     return time.time() - t0, (row["n"], row["s"], row["x"])
 
