@@ -314,6 +314,11 @@ box itself gives that pairing (CPU steal).
         "\n\n- input: deterministic synthetic transcripts (seed=42) including"
         "\n  the 700-turn skew conversation\n" + tail + "\n"
     )
+    # Hand-written per-round quiet-window reference numbers live in a
+    # separate file so a --rewrite can never clobber them (it did, once).
+    quiet_ref = REPO / "BENCH/QUIET_REFERENCE.md"
+    if quiet_ref.exists():
+        md += "\n" + quiet_ref.read_text()
     sj.write_text(json.dumps({"runs": runs}, indent=2) + "\n")
     (REPO / "BENCH/BASELINE.md").write_text(md)
     print("wrote BENCH/BASELINE.md, BENCH/scaling.json")

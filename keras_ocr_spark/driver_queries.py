@@ -3670,6 +3670,49 @@ def q_token_budget_mix(spark, sf_dir):
 
 
 @register(
+    "quality_percentile_gate",
+    f"""
+    WITH feats AS (
+      SELECT doc_id AS id, lang, length(text) AS n_chars,
+             len(string_split(text, ' ')) AS n_words,
+             {_lang_score_sql(TS.LANG_MARKERS["en"])} AS stop_hits,
+             len(regexp_extract_all(text, '[^a-zA-Z0-9 ]')) AS n_punct
+      FROM documents),
+    scored AS (
+      SELECT id, lang,
+             floor((least(CAST(n_words AS DOUBLE) / CAST(50.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + least((CASE WHEN n_words > 0 THEN CAST(stop_hits AS DOUBLE) / n_words ELSE 0 END) * CAST(5.0 AS DOUBLE), CAST(1.0 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+             + (CAST(1.0 AS DOUBLE) - least((CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0 END) * CAST(10.0 AS DOUBLE), CAST(1.0 AS DOUBLE))) * CAST(0.2 AS DOUBLE)) * 1000000 + 0.5) / 1000000 AS quality
+      FROM feats),
+    r AS (
+      SELECT id, lang, quality,
+             row_number() OVER (PARTITION BY lang ORDER BY quality DESC, id) AS lang_rank,
+             count(*) OVER (PARTITION BY lang) AS n_lang
+      FROM scored)
+    SELECT CAST(id AS BIGINT) AS id, lang,
+           CAST(quality AS DOUBLE) AS quality,
+           CAST(lang_rank AS BIGINT) AS lang_rank,
+           CAST(n_lang AS BIGINT) AS n_lang
+    FROM r WHERE lang_rank <= ceil(0.6 * n_lang)
+    """,
+)
+def q_quality_percentile_gate(spark, sf_dir):
+    """Adaptive per-language quality gate (keep each language's top 60%
+    by quality): the percentile-threshold form real curation uses
+    (CCNet buckets by per-language perplexity percentile) instead of
+    one global cutoff. Spark side is the skew-safe exact rank — local
+    row_number per (lang, quality-bucket) + broadcast prefix offsets,
+    no one-task-per-language window; the oracle is the naive
+    partition-less-per-lang window it must equal bit for bit."""
+    from .operators.curation import quality_percentile_gate
+
+    docs = _docs(spark, sf_dir)
+    quality = TS.quality_scores(docs).select("id", "quality")
+    lang = docs.select(F.col("doc_id").alias("id"), "lang")
+    return quality_percentile_gate(quality.join(lang, "id"), frac=0.6, id_col="id")
+
+
+@register(
     "nfc_canonicalize",
     """
     WITH aug AS (
@@ -3792,6 +3835,7 @@ _R5_NEW: list[str] = [
     "compression_ratio_meta",
     "bigram_logprob",
     "dedup_containment",
+    "quality_percentile_gate",
 ]
 
 

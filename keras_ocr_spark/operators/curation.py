@@ -357,6 +357,57 @@ def strip_boilerplate_lines(
     )
 
 
+def quality_percentile_gate(
+    df: DataFrame,
+    frac: float = 0.6,
+    lang_col: str = "lang",
+    id_col: str = "id",
+    quality_col: str = "quality",
+    n_order_buckets: int = 64,
+) -> DataFrame:
+    """Adaptive per-language quality gate: keep each language's TOP
+    ``frac`` of documents by quality score — how real curation sets
+    thresholds (a fixed global cutoff over- or under-prunes languages
+    whose score distributions differ; CCNet buckets by perplexity
+    percentile for exactly this reason).
+
+    Skew-safe exact rank, same device as :func:`token_budget_mix`: rows
+    bucket by their quality value (a monotone coarsening of the
+    quality-DESC sort), rank locally per (lang, bucket) window task,
+    and add tiny broadcast per-bucket prefix offsets — the dominant
+    language never sorts in one task, yet ranks equal the textbook
+    ``row_number() OVER (PARTITION BY lang ORDER BY quality DESC, id)``
+    bit for bit (the DuckDB oracle computes that naive form). Ties
+    break on id, so the kept set is deterministic across engines.
+
+    Output: (id, lang, quality, lang_rank, n_lang), kept rows only.
+    """
+    n_b = max(1, int(n_order_buckets))
+    q = F.col(quality_col).cast("double")
+    # bucket ascending in rank order (= descending quality); q is in
+    # [0, 1] so floor(q * n_b) is in [0, n_b] — clamp the q == 1 edge.
+    rb = (F.lit(n_b - 1) - F.least(F.floor(q * n_b), F.lit(n_b - 1))).cast("int")
+    staged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(lang_col).alias("lang"),
+        q.alias("quality"),
+    ).withColumn("_rb", rb)
+    w_local = W.partitionBy("lang", "_rb").orderBy(F.desc("quality"), F.asc("id"))
+    local = staged.withColumn("_lr", F.row_number().over(w_local))
+    per = staged.groupBy("lang", "_rb").agg(F.count("*").alias("_n"))
+    w_prefix = W.partitionBy("lang").orderBy("_rb").rowsBetween(W.unboundedPreceding, -1)
+    offs = per.withColumn("_off", F.coalesce(F.sum("_n").over(w_prefix), F.lit(0)))
+    totals = per.groupBy("lang").agg(F.sum("_n").alias("n_lang"))
+    out = (
+        local.join(F.broadcast(offs.select("lang", "_rb", "_off")), ["lang", "_rb"])
+        .join(F.broadcast(totals), "lang")
+        .withColumn("lang_rank", (F.col("_off") + F.col("_lr")).cast("long"))
+    )
+    return out.filter(
+        F.col("lang_rank") <= F.ceil(F.lit(float(frac)) * F.col("n_lang"))
+    ).select("id", "lang", "quality", "lang_rank", F.col("n_lang").cast("long").alias("n_lang"))
+
+
 def token_budget_mix(
     df: DataFrame,
     budgets: dict,

@@ -93,6 +93,12 @@ HEADLINERS = {
         "design); no cartesian/BNLJ, zero Python",
         {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
     ),
+    "quality_percentile_gate": (
+        "adaptive quality gate: skew-safe exact rank on (lang, "
+        "quality-bucket) windows + broadcast offsets — no SinglePartition, "
+        "no one-task-per-language sort",
+        {"single_partition": ("==", 0), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
+    ),
 }
 
 

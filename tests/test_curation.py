@@ -637,6 +637,53 @@ class TestTokenBudgetMix:
         assert got[0].n_tokens == 3
 
 
+class TestQualityPercentileGate:
+    def test_bucketed_rank_equals_naive_window(self, spark):
+        """Skew-safe rank must equal row_number() OVER (PARTITION BY
+        lang ORDER BY quality DESC, id) exactly — checked against a
+        naive Python computation on a 0.9-skew corpus across bucket
+        counts including the degenerate n=1."""
+        rows = [(i, "en" if i % 10 else "de", round(((i * 37) % 101) / 100, 2)) for i in range(300)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string, quality double")
+
+        def naive(frac):
+            import math
+
+            per = {}
+            for i, lang, q in rows:
+                per.setdefault(lang, []).append((-q, i))
+            out = {}
+            for lang, docs in per.items():
+                docs.sort()
+                keep = math.ceil(frac * len(docs))
+                for rank, (_negq, i) in enumerate(docs, start=1):
+                    if rank <= keep:
+                        out[i] = (lang, rank, len(docs))
+            return out
+
+        expect = naive(0.6)
+        for n_buckets in (1, 8, 64):
+            got = {
+                r.id: (r.lang, r.lang_rank, r.n_lang)
+                for r in C.quality_percentile_gate(
+                    df, frac=0.6, id_col="doc_id", n_order_buckets=n_buckets
+                ).collect()
+            }
+            assert got == expect, f"n_order_buckets={n_buckets} diverged"
+
+    def test_no_single_partition_in_plan(self, spark):
+        df = spark.createDataFrame(
+            [(1, "x", 0.5), (2, "y", 0.7)], "doc_id long, lang string, quality double"
+        )
+        plan = (
+            C.quality_percentile_gate(df, id_col="doc_id")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "SinglePartition" not in plan
+
+
 class TestCompressionRatioFullParity:
     def test_spark_equals_pure_python_on_sf_documents(self, spark):
         """compression_ratio has no SQL oracle (DuckDB lacks deflate),
