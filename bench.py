@@ -79,6 +79,7 @@ BENCH_QUERIES_R5 = [
     "bigram_logprob",
     "dedup_containment",
     "token_budget_mix",
+    "quality_percentile_gate",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+
