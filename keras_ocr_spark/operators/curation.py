@@ -381,8 +381,12 @@ def quality_percentile_gate(
     break on id, so the kept set is deterministic across engines.
 
     Output: (id, lang, quality, lang_rank, n_lang), kept rows only.
+    Rows with NULL quality are excluded up front (a NULL score is
+    unrankable; engines disagree on NULL placement under DESC order, so
+    dropping explicitly keeps the kept set engine-portable).
     """
     n_b = max(1, int(n_order_buckets))
+    df = df.filter(F.col(quality_col).isNotNull())
     q = F.col(quality_col).cast("double")
     # bucket ascending in rank order (= descending quality); q is in
     # [0, 1] so floor(q * n_b) is in [0, n_b] — clamp the q == 1 edge.

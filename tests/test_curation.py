@@ -671,6 +671,22 @@ class TestQualityPercentileGate:
             }
             assert got == expect, f"n_order_buckets={n_buckets} diverged"
 
+    def test_null_quality_rows_excluded(self, spark):
+        """NULL quality is unrankable and engines disagree on NULL
+        placement under DESC order — the operator must drop such rows
+        explicitly, not leak them via join-on-NULL accidents, and rank
+        the remainder as if they were never there."""
+        df = spark.createDataFrame(
+            [(1, "en", 0.9), (2, "en", None), (3, "en", 0.5), (4, "en", 0.1)],
+            "doc_id long, lang string, quality double",
+        )
+        got = {
+            r.id: (r.lang_rank, r.n_lang)
+            for r in C.quality_percentile_gate(df, frac=0.75, id_col="doc_id").collect()
+        }
+        # 3 non-null rows, keep ceil(0.75*3)=3; ranks 1..3 over ids 1,3,4
+        assert got == {1: (1, 3), 3: (2, 3), 4: (3, 3)}
+
     def test_no_single_partition_in_plan(self, spark):
         df = spark.createDataFrame(
             [(1, "x", 0.5), (2, "y", 0.7)], "doc_id long, lang string, quality double"
