@@ -80,6 +80,8 @@ BENCH_QUERIES_R5 = [
     "dedup_containment",
     "token_budget_mix",
     "quality_percentile_gate",
+    "semantic_dedup",
+    "unigram_kl_drift",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

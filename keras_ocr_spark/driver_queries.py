@@ -3750,6 +3750,91 @@ def q_nfc_canonicalize(spark, sf_dir):
     return TS.nfc_normalize_texts(aug)
 
 
+@register(
+    "semantic_dedup",
+    f"""
+    WITH cent AS (
+      SELECT vec_id AS centroid_id, embedding AS centroid
+      FROM embeddings WHERE vec_id BETWEEN 1 AND 16),
+    assigned AS (
+      SELECT vec_id, embedding, centroid_id, q,
+             row_number() OVER (PARTITION BY vec_id ORDER BY q DESC, centroid_id) AS rn
+      FROM (SELECT v.vec_id, v.embedding, c.centroid_id,
+                   {_qdot_sql("v.embedding", "c.centroid")} AS q
+            FROM embeddings v, cent c)),
+    cells AS (SELECT vec_id AS id, embedding, centroid_id AS cell, q AS cent_qdot
+              FROM assigned WHERE rn = 1),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, a.cent_qdot AS qa, b.cent_qdot AS qb
+      FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+      WHERE {_PAIR_COS_SQL} >= CAST(0.35 AS DOUBLE)),
+    losers AS (
+      SELECT DISTINCT CASE WHEN qa > qb THEN id_a
+                           WHEN qb > qa THEN id_b
+                           ELSE greatest(id_a, id_b) END AS id
+      FROM pairs)
+    SELECT CAST(c.id AS BIGINT) AS id,
+           CAST(c.cell AS BIGINT) AS cell,
+           CAST(c.cent_qdot AS BIGINT) AS cent_qdot
+    FROM cells c ANTI JOIN losers l ON c.id = l.id
+    """,
+)
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding
+    column with the 16-entry codebook, then drop within-cluster
+    semantic duplicates — any member that loses an above-threshold
+    cosine pair to a cluster-mate, the loser being the one CLOSER to
+    the centroid (the redundant copy; SemDeDup keeps the outlier).
+    Assignment is the zero-shuffle argmax projection; candidates come
+    from ONE cell-key equi-join, never all-pairs — at 100 TB the
+    codebook's k bounds cell size, exactly the paper's regime. The
+    oracle reproduces assignment (quantized dots, ties to lowest
+    centroid id), the pair cosine and the loser rule exactly."""
+    emb = _emb(spark, sf_dir)
+    centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+    )
+    out = S.semantic_dedup(emb, centroids, threshold=0.35)
+    return out.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("cell").cast("long").alias("cell"),
+        F.col("cent_qdot").cast("long").alias("cent_qdot"),
+    )
+
+
+@register(
+    "unigram_kl_drift",
+    """
+    WITH w AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+             unnest(string_split(text, ' ')) AS word
+      FROM documents),
+    counts AS (
+      SELECT word, CAST(sum(ia) AS BIGINT) AS c_a,
+             CAST(count(*) - sum(ia) AS BIGINT) AS c_b
+      FROM w GROUP BY word),
+    tot AS (SELECT CAST(sum(c_a) AS BIGINT) AS n_a, CAST(sum(c_b) AS BIGINT) AS n_b,
+                   CAST(count(*) AS BIGINT) AS v
+            FROM counts)
+    SELECT word, c_a, c_b,
+           CAST(floor(((c_a + 1.0) / (n_a + 1.0 * v)) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS p_a,
+           CAST(floor(((c_b + 1.0) / (n_b + 1.0 * v)) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS p_b,
+           CAST(floor(((c_a + 1.0) / (n_a + 1.0 * v))
+                      * ln(((c_a + 1.0) / (n_a + 1.0 * v)) / ((c_b + 1.0) / (n_b + 1.0 * v)))
+                      * 1000000 + 0.5) / 1000000 AS DOUBLE) AS kl_term
+    FROM counts, tot
+    """,
+)
+def q_unigram_kl_drift(spark, sf_dir):
+    """Corpus-slice distribution drift: per-word KL(A || B) contributions
+    between the English slice and the rest, add-1 smoothed over the
+    union vocabulary — the drift monitor run between ingest batches to
+    catch a crawler or mix regression. One explode + ONE word groupBy
+    (conditional c_a/c_b in the same map-side-combined agg), totals as
+    a 1-row broadcast, map-only scoring — word-count cost at 100 TB."""
+    return TS.unigram_kl_drift(_docs(spark, sf_dir), slice_col="lang", slice_a="en")
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
@@ -3830,12 +3915,17 @@ _R4_REATTESTED = _R3_ATTESTED[:8]
 _R5_CHANGED = ["inverted_index", "token_budget_mix"]
 
 # New r5 registrations (window arithmetic: 42 stale + 2 changed + these
-# must stay ≤ 50 — at most 6 new oracle queries this round).
+# must stay ≤ 50 — at most 6 new oracle queries this round; the list is
+# now FULL at 6, so the two always-green spillover anchors from earlier
+# in the round are pushed out of the window — acceptable, they have
+# green rows in multiple prior rounds).
 _R5_NEW: list[str] = [
     "compression_ratio_meta",
     "bigram_logprob",
     "dedup_containment",
     "quality_percentile_gate",
+    "semantic_dedup",
+    "unigram_kl_drift",
 ]
 
 

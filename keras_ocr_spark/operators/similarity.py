@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.hashing import dot_expr, norm_expr, quantized_dot_expr
+from ..functions.numeric import pround
 
 #: Embedding quantization scale — must match ``quantized_dot_expr`` and
 #: the DuckDB oracle SQL (``round(x*1000)``).
@@ -573,3 +574,86 @@ def all_pairs_above(
         )
         .filter(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings with a coarse IVF codebook,
+    then prune WITHIN-cluster semantic duplicates — pairs whose exact
+    cosine similarity meets ``threshold`` — keeping, per the paper's
+    policy, the member FARTHEST from its cluster centroid (the
+    redundant near-centroid copy is the one dropped). The reference's
+    closest analog is its recognizer dropping duplicate detections of
+    the same word region; here the "region" is a semantic neighborhood.
+
+    Exact pairwise semantics (engine-reproducible, no greedy order
+    dependence): a vector is dropped iff it is the LOSER of ANY
+    within-cell pair with rounded cosine >= threshold, where the loser
+    is the member with the HIGHER integer-quantized centroid dot
+    (closer to the centroid), ties broken to the higher id. This is
+    the deterministic fixed-point form of SemDeDup's per-cluster greedy
+    scan; both engines compute it identically.
+
+    Plan shape: assignment is the ZERO-shuffle argmax projection over
+    the inlined codebook literal (same device as :func:`ivf_assign`),
+    emitting (cell, cent_qdot) per row; candidate generation is ONE
+    equi-join on the cell key (never all-pairs — cluster size is
+    bounded by the codebook's k, which at 100 TB is chosen so cells
+    hold ~1e5 vectors, the SemDeDup paper's own regime); the loser set
+    is a distinct projection anti-joined back. All expression-only —
+    no Python in the plan, both join branches recompute cheap codegen
+    expressions rather than a pandas kernel.
+
+    Output: surviving (id, cell, cent_qdot).
+    """
+    cents = sorted(
+        (int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in centroids.collect()
+    )
+    if not cents:
+        raise ValueError("semantic_dedup needs at least one centroid")
+    scored = F.array(
+        *[
+            F.struct(
+                quantized_dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias(
+                    "cdot"
+                ),
+                F.lit(-cid).cast("long").alias("neg_id"),
+            )
+            for cid, cvec in cents
+        ]
+    )
+    best = F.array_max(scored)
+    assigned = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        (-best.getField("neg_id")).cast("long").alias("cell"),
+        best.getField("cdot").cast("long").alias("cent_qdot"),
+    )
+    a = assigned.alias("a")
+    b = assigned.alias("b")
+    va = F.transform(F.col("a.vec"), lambda x: x.cast("double"))
+    vb = F.transform(F.col("b.vec"), lambda x: x.cast("double"))
+    pairs = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.cent_qdot").alias("qa"),
+            F.col("b.cent_qdot").alias("qb"),
+            pround(cosine_expr(va, vb), 5).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    losers = pairs.select(
+        F.when(F.col("qa") > F.col("qb"), F.col("id_a"))
+        .when(F.col("qb") > F.col("qa"), F.col("id_b"))
+        .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+        .alias("id")
+    ).distinct()
+    return assigned.join(losers, "id", "left_anti").select("id", "cell", "cent_qdot")

@@ -259,3 +259,54 @@ def nfc_normalize_texts(df: DataFrame, id_col: str = "doc_id", text_col: str = "
         (~F.col("_raw").eqNullSafe(F.col("norm_text"))).alias("changed"),
         F.length("norm_text").cast("long").alias("n_cp"),
     )
+
+
+def unigram_kl_drift(
+    df: DataFrame,
+    slice_col: str = "lang",
+    slice_a: str = "en",
+    text_col: str = "text",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-word KL-divergence contributions between two corpus slices —
+    the distribution-drift monitor every production curation pipeline
+    runs between ingest batches / domain mixes (e.g. CCNet's per-snapshot
+    language re-balancing, or detecting a crawler regression that shifts
+    the token mix). Slice A is ``slice_col == slice_a``; slice B is the
+    rest of the corpus. Add-``alpha`` smoothing over the UNION vocabulary
+    keeps every term finite; ``sum(kl_term)`` is KL(A || B) in nats.
+    The reference's closest analog is its per-dataset character-frequency
+    sanity checks before training (recognizer alphabet coverage).
+
+    Plan shape: one explode + ONE word-key groupBy with conditional
+    partial aggregation (c_a, c_b in the same agg — map-side combined),
+    totals (n_a, n_b, vocab V) as a 1-row broadcast cross join, then a
+    map-only scoring projection. No windows, no joins beyond the 1-row
+    broadcast; at 100 TB this is the word-count job plus epsilon.
+
+    Output: (word, c_a, c_b, p_a, p_b, kl_term) — probabilities and the
+    contribution rounded to 1e-6 for cross-engine hash stability.
+    """
+    words = df.select(
+        (F.col(slice_col) == F.lit(slice_a)).cast("long").alias("ia"),
+        F.explode(words_expr(F.col(text_col))).alias("word"),
+    )
+    counts = words.groupBy("word").agg(
+        F.sum("ia").cast("long").alias("c_a"),
+        (F.count("*") - F.sum("ia")).cast("long").alias("c_b"),
+    )
+    tot = counts.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+        F.count("*").cast("long").alias("v"),
+    )
+    p_a = (F.col("c_a") + F.lit(alpha)) / (F.col("n_a") + F.lit(alpha) * F.col("v"))
+    p_b = (F.col("c_b") + F.lit(alpha)) / (F.col("n_b") + F.lit(alpha) * F.col("v"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "word",
+        "c_a",
+        "c_b",
+        pround(p_a, 6).alias("p_a"),
+        pround(p_b, 6).alias("p_b"),
+        pround(p_a * F.log(p_a / p_b), 6).alias("kl_term"),
+    )

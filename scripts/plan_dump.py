@@ -99,6 +99,22 @@ HEADLINERS = {
         "no one-task-per-language sort",
         {"single_partition": ("==", 0), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
     ),
+    "semantic_dedup": (
+        "SemDeDup: zero-shuffle argmax cell assignment (inlined codebook), "
+        "ONE cell-key equi-join for candidates, loser anti-join — "
+        "expression-only, no Python, never all-pairs",
+        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "unigram_kl_drift": (
+        "slice-drift monitor: one word groupBy (map-side-combined "
+        "conditional counts), totals as the one allowed 1-row broadcast, "
+        "map-only scoring",
+        # single_partition not bounded: the (n_a, n_b, V) totals are a
+        # global 1-row agg — its FINAL step is SinglePartition over the
+        # already-reduced vocabulary-sized partials, the standard scalar
+        # aggregate shape (same as bigram_logprob's vocab count).
+        {"cartesian": ("==", 0), "python_nodes": ("==", 0), "bnlj": ("<=", 1)},
+    ),
 }
 
 

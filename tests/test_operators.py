@@ -220,6 +220,47 @@ class TestSimilarity:
         assert "BroadcastNestedLoopJoin" not in plan
         assert "CartesianProduct" not in plan
 
+    def test_semantic_dedup_drops_exact_copy_tie_to_higher_id(self, spark, vecs):
+        """7 and 99 are identical -> same cell, equal cent_qdot: the tie
+        breaks to the HIGHER id (99 dropped, 7 kept); everyone else
+        survives at a near-1 threshold."""
+        centroids = vecs.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        surv = {r.id for r in S.semantic_dedup(vecs, centroids, threshold=0.999).collect()}
+        # the exact-copy pair (7, 99): equal cent_qdot, tie drops 99
+        assert 7 in surv and 99 not in surv
+        # sin(i*0.7+j) repeats with period ~9 (0.7*9 ~ 2pi), so stride-9
+        # pairs are also near-identical; dedup keeps a strict subset
+        assert surv < {r[0] for r in vecs.select("vec_id").collect()}
+
+    def test_semantic_dedup_keeps_member_farther_from_centroid(self, spark):
+        """SemDeDup keep policy: of an above-threshold pair, the member
+        CLOSER to its centroid is the redundant copy that drops."""
+        df = spark.createDataFrame(
+            [(10, [1.0, 0.0]), (11, [0.98, 0.2]), (12, [0.0, 1.0])],
+            "vec_id int, embedding array<float>",
+        )
+        cents = spark.createDataFrame([(1, [1.0, 0.0])], "centroid_id int, centroid array<float>")
+        surv = {r.id: r for r in S.semantic_dedup(df, cents, threshold=0.9).collect()}
+        # cos(10,11) ~ 0.98 >= 0.9; 10 has the higher centroid dot -> dropped
+        assert set(surv) == {11, 12}
+        assert surv[11].cell == 1 and surv[12].cell == 1
+
+    def test_semantic_dedup_plan_is_equi_join_no_python(self, vecs):
+        centroids = vecs.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        plan = (
+            S.semantic_dedup(vecs, centroids, threshold=0.9)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastNestedLoopJoin" not in plan
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan
+
 
 class TestTextStats:
     @pytest.fixture(scope="class")
@@ -248,6 +289,35 @@ class TestTextStats:
         a = {r.id: r.fingerprint for r in TS.fingerprints(tiny).collect()}
         b = {r.id: r.fingerprint for r in TS.fingerprints(tiny).collect()}
         assert a == b and len(set(a.values())) == 3
+
+    def test_unigram_kl_drift_matches_hand_computation(self, spark):
+        """A: 'a a b' (en), B: 'a c' (es). Union vocab {a,b,c}, add-1:
+        p_a = (c_a+1)/(3+3), p_b = (c_b+1)/(2+3)."""
+        import math
+
+        df = spark.createDataFrame(
+            [(0, "a a b", "en"), (1, "a c", "es")], "doc_id int, text string, lang string"
+        )
+        rows = {r.word: r for r in TS.unigram_kl_drift(df, slice_col="lang", slice_a="en").collect()}
+        assert set(rows) == {"a", "b", "c"}
+        assert (rows["a"].c_a, rows["a"].c_b) == (2, 1)
+        assert (rows["b"].c_a, rows["b"].c_b) == (1, 0)
+        assert (rows["c"].c_a, rows["c"].c_b) == (0, 1)
+        for w, ca, cb in [("a", 2, 1), ("b", 1, 0), ("c", 0, 1)]:
+            pa, pb = (ca + 1) / 6.0, (cb + 1) / 5.0
+            assert abs(rows[w].p_a - pa) < 1e-6
+            assert abs(rows[w].p_b - pb) < 1e-6
+            assert abs(rows[w].kl_term - pa * math.log(pa / pb)) < 1e-6
+
+    def test_unigram_kl_drift_identical_slices_zero(self, spark):
+        """Same text in both slices -> every per-word contribution is
+        exactly 0 (p_a == p_b termwise, ln(1) = 0)."""
+        df = spark.createDataFrame(
+            [(0, "x y z", "en"), (1, "x y z", "fr")], "doc_id int, text string, lang string"
+        )
+        out = TS.unigram_kl_drift(df, slice_col="lang", slice_a="en").collect()
+        assert len(out) == 3
+        assert all(r.kl_term == 0.0 for r in out)
 
 
 class TestBigramLogprob:

@@ -214,6 +214,9 @@ class TestNoAccidentalCartesian:
         # 1-row broadcast of the vocabulary size onto the scoring join
         # (same shape as unigram_logprob's grand-total broadcast).
         "bigram_logprob",
+        # 1-row broadcast of (n_a, n_b, V) totals onto the
+        # vocabulary-sized counts frame (same 1-row-side shape).
+        "unigram_kl_drift",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {
