@@ -109,6 +109,26 @@ def main():
     out["pruned_query_sec"] = round(time.perf_counter() - t0, 1)
     out["pruned_top1_id"] = int(pruned_rows[0]["id"])
 
+    # --- SemDeDup at scale: k scaled so cells stay small ------------------
+    # codebook = every Nth vector (deterministic sample), k = n/2000 so
+    # the mean cell holds ~2000 vectors (the Gram kernel then does
+    # ~2000^2/2 int64 multiply-adds per cell — the paper's regime where
+    # k grows with N); with the 5-member jittered clusters in synth(),
+    # threshold 0.95 collapses most clusters to their outlier member.
+    k_cells = max(n // 2000, 16)
+    stride = max(n // k_cells, 1)
+    cb = (
+        emb.filter((F.col("vec_id") % stride == 0) & (F.col("vec_id") < stride * k_cells))
+        .select((F.col("vec_id") / stride).cast("long").alias("centroid_id"),
+                F.col("embedding").alias("centroid"))
+    )
+    t0 = time.perf_counter()
+    surv = S.semantic_dedup(emb, cb, threshold=0.95)
+    out["semdedup_survivors"] = surv.count()
+    out["semdedup_sec"] = round(time.perf_counter() - t0, 1)
+    out["semdedup_k"] = k_cells
+    out["semdedup_dropped"] = n - out["semdedup_survivors"]
+
     print(json.dumps(out))
     spark.stop()
 

@@ -3767,7 +3767,10 @@ def q_nfc_canonicalize(spark, sf_dir):
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b, a.cent_qdot AS qa, b.cent_qdot AS qb
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
-      WHERE {_PAIR_COS_SQL} >= CAST(0.35 AS DOUBLE)),
+      WHERE floor(CAST({_qdot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+                  / (sqrt(CAST({_qdot_sql("a.embedding", "a.embedding")} AS DOUBLE))
+                   * sqrt(CAST({_qdot_sql("b.embedding", "b.embedding")} AS DOUBLE)))
+                  * 100000 + 0.5) / 100000 >= CAST(0.35 AS DOUBLE)),
     losers AS (
       SELECT DISTINCT CASE WHEN qa > qb THEN id_a
                            WHEN qb > qa THEN id_b
@@ -3783,13 +3786,17 @@ def q_semantic_dedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023): coarse-cluster the embedding
     column with the 16-entry codebook, then drop within-cluster
     semantic duplicates — any member that loses an above-threshold
-    cosine pair to a cluster-mate, the loser being the one CLOSER to
-    the centroid (the redundant copy; SemDeDup keeps the outlier).
-    Assignment is the zero-shuffle argmax projection; candidates come
-    from ONE cell-key equi-join, never all-pairs — at 100 TB the
-    codebook's k bounds cell size, exactly the paper's regime. The
-    oracle reproduces assignment (quantized dots, ties to lowest
-    centroid id), the pair cosine and the loser rule exactly."""
+    QUANTIZED-cosine pair to a cluster-mate (int64 dots -> sqrt/divide
+    on exact integers, floor-rounded 1e-5 — bit-identical in numpy,
+    Spark and DuckDB), the loser being the one CLOSER to the centroid
+    (the redundant copy; SemDeDup keeps the outlier). Assignment is
+    the numpy argmax kernel; the per-cluster pairwise step is ONE
+    exchange + a blocked int64 Gram-matrix grouped-map kernel (each
+    vector crosses Arrow once, never the m x m pair join) — at 100 TB
+    the codebook's k bounds cell size, exactly the paper's regime.
+    The oracle reproduces assignment (quantized dots, ties to lowest
+    centroid id), the quantized pair cosine and the loser rule
+    exactly via the cell-key equi-join form."""
     emb = _emb(spark, sf_dir)
     centroids = emb.filter((F.col("vec_id") >= 1) & (F.col("vec_id") <= 16)).select(
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")

@@ -576,12 +576,56 @@ def all_pairs_above(
     )
 
 
+def ivf_cell_scored_udf(cents: "List[tuple]"):
+    """Arrow-vectorized argmax assignment that also returns the winning
+    quantized centroid dot — struct<cell, cent_qdot> per row. Same
+    integer arithmetic as :func:`ivf_cell_udf` (sorted-ascending cents
+    + numpy first-max argmax = ties-to-lowest-centroid_id), extended
+    with the max value itself for :func:`semantic_dedup`'s keep policy.
+    NULL / wrong-length vectors degrade to a NULL struct, matching the
+    expression twin's null propagation."""
+    import numpy as np
+
+    C = np.array([_qvec(v) for _, v in cents], dtype=np.int64)  # (K, D)
+    ids = np.array([cid for cid, _ in cents], dtype=np.int64)
+    dim = C.shape[1]
+    out_type = T.StructType(
+        [T.StructField("cell", T.LongType()), T.StructField("cent_qdot", T.LongType())]
+    )
+
+    @F.pandas_udf(out_type)
+    def _scored(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for vecs in batches:
+            if len(vecs) == 0:
+                yield pd.DataFrame({"cell": pd.array([], dtype="Int64"),
+                                    "cent_qdot": pd.array([], dtype="Int64")})
+                continue
+            vals = vecs.to_numpy()
+            ok = np.array([v is not None and len(v) == dim for v in vals])
+            cell = np.full(len(vals), np.nan)
+            qdot = np.full(len(vals), np.nan)
+            if ok.any():
+                m = np.stack(vals[ok]).astype(np.float64)
+                q = (np.floor(np.abs(m) * VEC_SCALE + 0.5) * np.sign(m)).astype(np.int64)
+                dots = q @ C.T  # (N, K) int64
+                arg = np.argmax(dots, axis=1)
+                cell[ok] = ids[arg]
+                qdot[ok] = dots[np.arange(dots.shape[0]), arg]
+            yield pd.DataFrame(
+                {"cell": pd.Series(cell).astype("Int64"),
+                 "cent_qdot": pd.Series(qdot).astype("Int64")}
+            )
+
+    return _scored
+
+
 def semantic_dedup(
     df: DataFrame,
     centroids: DataFrame,
     threshold: float = 0.8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    fast: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings with a coarse IVF codebook,
@@ -594,66 +638,149 @@ def semantic_dedup(
 
     Exact pairwise semantics (engine-reproducible, no greedy order
     dependence): a vector is dropped iff it is the LOSER of ANY
-    within-cell pair with rounded cosine >= threshold, where the loser
-    is the member with the HIGHER integer-quantized centroid dot
-    (closer to the centroid), ties broken to the higher id. This is
+    within-cell pair whose QUANTIZED cosine — qdot(a,b) /
+    (sqrt(qdot(a,a)) * sqrt(qdot(b,b))) over the exact int64 quantized
+    dots, floor-rounded at 1e-5 — meets ``threshold``; the loser is the
+    member with the HIGHER integer-quantized centroid dot (closer to
+    the centroid), ties broken to the higher id. Every input to the
+    float steps is an exact integer and every float op (sqrt, one
+    multiply, one divide) is correctly-rounded IEEE, so numpy, Spark
+    SQL and DuckDB produce bit-identical cosines — the device that
+    keeps this oracle-exact without giving up vectorization. This is
     the deterministic fixed-point form of SemDeDup's per-cluster greedy
-    scan; both engines compute it identically.
+    scan; all engines compute it identically.
 
-    Plan shape: assignment is the ZERO-shuffle argmax projection over
-    the inlined codebook literal (same device as :func:`ivf_assign`),
-    emitting (cell, cent_qdot) per row; candidate generation is ONE
-    equi-join on the cell key (never all-pairs — cluster size is
-    bounded by the codebook's k, which at 100 TB is chosen so cells
-    hold ~1e5 vectors, the SemDeDup paper's own regime); the loser set
-    is a distinct projection anti-joined back. All expression-only —
-    no Python in the plan, both join branches recompute cheap codegen
-    expressions rather than a pandas kernel.
+    Plan shape (``fast``, the scale path): assignment is the numpy
+    argmax kernel (:func:`ivf_cell_scored_udf`) emitting (cell,
+    cent_qdot) per row, materialized ONCE via lazy localCheckpoint
+    (same device and same fault-tolerance caveat as
+    :func:`all_pairs_above` — at real cluster scale persist the
+    assigned frame instead); then ONE exchange groups each cell and a
+    grouped-map kernel computes the cell's exact int64 Gram matrix in
+    ROW BLOCKS (never materializing the m x m pair join — the paper's
+    per-cluster pairwise step as one matmul per block, with Arrow
+    moving each vector ONCE instead of once per pair), emitting loser
+    ids; survivors are the anti-join. Never all-pairs across cells —
+    cluster size is bounded by the codebook's k, which at 100 TB is
+    chosen so cells hold ~1e5 vectors (the SemDeDup paper's regime);
+    the block loop bounds kernel memory at block x m.
 
-    Output: surviving (id, cell, cent_qdot).
+    ``fast=False`` is the fully-recomputable expression twin (inlined
+    codebook argmax + cell-key equi-join + per-pair quantized-dot
+    HOFs): identical values, O(pairs) interpreted-lambda cost —
+    the cross-check path, asserted equal in tests and by the oracle.
+
+    Output: surviving (id, cell, cent_qdot); rows whose vector cannot
+    be assigned (NULL / wrong length) keep a NULL cell and survive
+    (they pair with nothing), in both paths.
     """
     cents = sorted(
         (int(r["centroid_id"]), [float(x) for x in r["centroid"]]) for r in centroids.collect()
     )
     if not cents:
         raise ValueError("semantic_dedup needs at least one centroid")
-    scored = F.array(
-        *[
-            F.struct(
-                quantized_dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias(
-                    "cdot"
-                ),
-                F.lit(-cid).cast("long").alias("neg_id"),
-            )
-            for cid, cvec in cents
-        ]
-    )
-    best = F.array_max(scored)
-    assigned = df.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        (-best.getField("neg_id")).cast("long").alias("cell"),
-        best.getField("cdot").cast("long").alias("cent_qdot"),
-    )
-    a = assigned.alias("a")
-    b = assigned.alias("b")
-    va = F.transform(F.col("a.vec"), lambda x: x.cast("double"))
-    vb = F.transform(F.col("b.vec"), lambda x: x.cast("double"))
-    pairs = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.cent_qdot").alias("qa"),
-            F.col("b.cent_qdot").alias("qb"),
-            pround(cosine_expr(va, vb), 5).alias("cosine"),
+    if fast:
+        best = ivf_cell_scored_udf(cents)(F.col(vec_col))
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            best.alias("_best"),
+        ).select(
+            "id",
+            "vec",
+            F.col("_best.cell").alias("cell"),
+            F.col("_best.cent_qdot").alias("cent_qdot"),
         )
-        .filter(F.col("cosine") >= threshold)
-    )
-    losers = pairs.select(
-        F.when(F.col("qa") > F.col("qb"), F.col("id_a"))
-        .when(F.col("qb") > F.col("qa"), F.col("id_b"))
-        .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
-        .alias("id")
-    ).distinct()
+        assigned = assigned.localCheckpoint(eager=False)
+        losers = _cell_gram_losers(assigned, threshold)
+    else:
+        scored = F.array(
+            *[
+                F.struct(
+                    quantized_dot_expr(F.col(vec_col), F.array(*[F.lit(x) for x in cvec])).alias(
+                        "cdot"
+                    ),
+                    F.lit(-cid).cast("long").alias("neg_id"),
+                )
+                for cid, cvec in cents
+            ]
+        )
+        best = F.array_max(scored)
+        assigned = df.select(
+            F.col(id_col).alias("id"),
+            F.col(vec_col).alias("vec"),
+            (-best.getField("neg_id")).cast("long").alias("cell"),
+            best.getField("cdot").cast("long").alias("cent_qdot"),
+        )
+        a = assigned.alias("a")
+        b = assigned.alias("b")
+        qd_ab = quantized_dot_expr(F.col("a.vec"), F.col("b.vec"))
+        qd_aa = quantized_dot_expr(F.col("a.vec"), F.col("a.vec"))
+        qd_bb = quantized_dot_expr(F.col("b.vec"), F.col("b.vec"))
+        cos_q = qd_ab.cast("double") / (
+            F.sqrt(qd_aa.cast("double")) * F.sqrt(qd_bb.cast("double"))
+        )
+        pairs = (
+            a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                F.col("a.cent_qdot").alias("qa"),
+                F.col("b.cent_qdot").alias("qb"),
+                pround(cos_q, 5).alias("cosine"),
+            )
+            .filter(F.col("cosine") >= threshold)
+        )
+        losers = pairs.select(
+            F.when(F.col("qa") > F.col("qb"), F.col("id_a"))
+            .when(F.col("qb") > F.col("qa"), F.col("id_b"))
+            .otherwise(F.greatest(F.col("id_a"), F.col("id_b")))
+            .alias("id")
+        ).distinct()
     return assigned.join(losers, "id", "left_anti").select("id", "cell", "cent_qdot")
+
+
+def _cell_gram_losers(assigned: DataFrame, threshold: float, block: int = 1024) -> DataFrame:
+    """Within-cell loser ids via the exact int64 Gram matrix, one cell
+    per :meth:`applyInPandas` group, ``block`` rows of the matmul at a
+    time (kernel memory is block x m, not m x m). See
+    :func:`semantic_dedup` for the exactness argument."""
+    import numpy as np
+
+    def _losers(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = len(pdf)
+        if m < 2:
+            return pd.DataFrame({"id": pd.array([], dtype="int64")})
+        vals = np.stack(pdf["vec"].to_numpy()).astype(np.float64)  # (m, d)
+        q = (np.floor(np.abs(vals) * VEC_SCALE + 0.5) * np.sign(vals)).astype(np.int64)
+        self_q = np.einsum("ij,ij->i", q, q)  # exact int64
+        norms = np.sqrt(self_q.astype(np.float64))
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        cent = pdf["cent_qdot"].to_numpy(dtype=np.int64)
+        out: list = []
+        for s in range(0, m, block):
+            e = min(s + block, m)
+            gram = q[s:e] @ q.T  # exact int64 (|q_i| <= ~1e3, d=64 -> << 2^63)
+            cos = gram.astype(np.float64) / (norms[s:e, None] * norms[None, :])
+            cos = np.floor(cos * 100000 + 0.5) / 100000
+            bi, j = np.nonzero(cos >= threshold)
+            i = bi + s
+            keep = i < j  # each unordered pair once, (lower id, higher id)
+            i, j = i[keep], j[keep]
+            if len(i) == 0:
+                continue
+            # loser: higher cent_qdot; tie -> higher id (= j, since
+            # ids are sorted ascending and i < j positionally)
+            loser = np.where(cent[i] > cent[j], ids[i], ids[j])
+            out.append(loser)
+        if not out:
+            return pd.DataFrame({"id": pd.array([], dtype="int64")})
+        return pd.DataFrame({"id": np.unique(np.concatenate(out))})
+
+    return (
+        assigned.filter(F.col("cell").isNotNull())
+        .select("id", "vec", "cell", "cent_qdot")
+        .groupBy("cell")
+        .applyInPandas(_losers, "id long")
+    )

@@ -100,10 +100,11 @@ HEADLINERS = {
         {"single_partition": ("==", 0), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
     ),
     "semantic_dedup": (
-        "SemDeDup: zero-shuffle argmax cell assignment (inlined codebook), "
-        "ONE cell-key equi-join for candidates, loser anti-join — "
-        "expression-only, no Python, never all-pairs",
-        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+        "SemDeDup: numpy argmax cell assignment materialized once "
+        "(localCheckpoint — zero EvalPython downstream), ONE exchange + "
+        "ONE blocked int64 Gram grouped-map kernel per cell (never the "
+        "m x m pair join), loser anti-join — never all-pairs",
+        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0), "grouped_map": ("==", 1)},
     ),
     "unigram_kl_drift": (
         "slice-drift monitor: one word groupBy (map-side-combined "
@@ -136,6 +137,7 @@ def features(plan: str) -> dict:
         "bnlj": plan.count("BroadcastNestedLoopJoin"),
         "cartesian": plan.count("CartesianProduct"),
         "python_nodes": plan.count("EvalPython"),
+        "grouped_map": plan.count("FlatMapGroupsInPandas"),
         "single_partition": plan.count("SinglePartition"),
         "take_ordered": plan.count("TakeOrderedAndProject"),
         "pushed_filters": sorted(

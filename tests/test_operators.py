@@ -247,19 +247,36 @@ class TestSimilarity:
         assert set(surv) == {11, 12}
         assert surv[11].cell == 1 and surv[12].cell == 1
 
+    def test_semantic_dedup_fast_matches_expression_twin(self, vecs):
+        """The numpy scored-assignment kernel must be value-identical to
+        the inlined-expression argmax (same quantized-integer
+        arithmetic, same ties-to-lowest-centroid rule)."""
+        centroids = vecs.filter(F.col("vec_id") < 4).select(
+            F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
+        )
+        fast = S.semantic_dedup(vecs, centroids, threshold=0.9, fast=True)
+        slow = S.semantic_dedup(vecs, centroids, threshold=0.9, fast=False)
+        assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
+
     def test_semantic_dedup_plan_is_equi_join_no_python(self, vecs):
         centroids = vecs.filter(F.col("vec_id") < 4).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
         )
-        plan = (
-            S.semantic_dedup(vecs, centroids, threshold=0.9)
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
-        assert "BroadcastNestedLoopJoin" not in plan
-        assert "CartesianProduct" not in plan
-        assert "EvalPython" not in plan
+        for fast in (True, False):
+            plan = (
+                S.semantic_dedup(vecs, centroids, threshold=0.9, fast=fast)
+                ._jdf.queryExecution()
+                .executedPlan()
+                .toString()
+            )
+            assert "BroadcastNestedLoopJoin" not in plan, fast
+            assert "CartesianProduct" not in plan, fast
+            # fast: scored kernel materialized once via lazy
+            # localCheckpoint (no EvalPython anywhere), per-cluster
+            # pairwise step is exactly ONE grouped-map Gram kernel;
+            # slow: expression-only equi-join
+            assert "EvalPython" not in plan, fast
+            assert plan.count("FlatMapGroupsInPandas") == (1 if fast else 0), fast
 
 
 class TestTextStats:
