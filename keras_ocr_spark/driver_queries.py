@@ -3767,7 +3767,12 @@ def q_nfc_canonicalize(spark, sf_dir):
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b, a.cent_qdot AS qa, b.cent_qdot AS qb
       FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
-      WHERE floor(CAST({_qdot_sql("a.embedding", "b.embedding")} AS DOUBLE)
+      -- zero-norm guard: NaN orders above the threshold in DuckDB/Spark
+      -- but not numpy; zero-quantized vectors must never pair (see
+      -- operators.similarity.semantic_dedup)
+      WHERE {_qdot_sql("a.embedding", "a.embedding")} > 0
+        AND {_qdot_sql("b.embedding", "b.embedding")} > 0
+        AND floor(CAST({_qdot_sql("a.embedding", "b.embedding")} AS DOUBLE)
                   / (sqrt(CAST({_qdot_sql("a.embedding", "a.embedding")} AS DOUBLE))
                    * sqrt(CAST({_qdot_sql("b.embedding", "b.embedding")} AS DOUBLE)))
                   * 100000 + 0.5) / 100000 >= CAST(0.35 AS DOUBLE)),

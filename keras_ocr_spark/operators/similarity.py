@@ -722,6 +722,11 @@ def semantic_dedup(
         )
         pairs = (
             a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+            # zero-quantized vectors have norm 0 -> cosine NaN; Spark and
+            # DuckDB order NaN ABOVE the threshold while numpy's nan >= t
+            # is False — exclude them explicitly so all three engines
+            # agree (a zero vector never pairs)
+            .filter((qd_aa > 0) & (qd_bb > 0))
             .select(
                 F.col("a.id").alias("id_a"),
                 F.col("b.id").alias("id_b"),
@@ -762,7 +767,12 @@ def _cell_gram_losers(assigned: DataFrame, threshold: float, block: int = 1024) 
         for s in range(0, m, block):
             e = min(s + block, m)
             gram = q[s:e] @ q.T  # exact int64 (|q_i| <= ~1e3, d=64 -> << 2^63)
-            cos = gram.astype(np.float64) / (norms[s:e, None] * norms[None, :])
+            # zero-norm rows: gram is 0 wherever a norm is 0, so 0/0 ->
+            # NaN -> every comparison False — zero vectors never pair,
+            # matching the explicit qd > 0 guard in the expression twin
+            # and the oracle (errstate just silences the 0/0 warning)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = gram.astype(np.float64) / (norms[s:e, None] * norms[None, :])
             cos = np.floor(cos * 100000 + 0.5) / 100000
             bi, j = np.nonzero(cos >= threshold)
             i = bi + s

@@ -258,6 +258,23 @@ class TestSimilarity:
         slow = S.semantic_dedup(vecs, centroids, threshold=0.9, fast=False)
         assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, slow.collect()))
 
+    def test_semantic_dedup_zero_vector_never_pairs(self, spark):
+        """A zero-quantized vector has norm 0 -> cosine NaN; Spark and
+        DuckDB order NaN above any threshold while numpy's nan >= t is
+        False. Both paths must agree: zero vectors never pair (both
+        survive), including against each other."""
+        df = spark.createDataFrame(
+            [(1, [0.0, 0.0]), (2, [0.0001, 0.0]), (3, [1.0, 0.0]), (4, [0.99, 0.1])],
+            "vec_id int, embedding array<float>",
+        )
+        cents = spark.createDataFrame([(1, [1.0, 0.0])], "centroid_id int, centroid array<float>")
+        fast = sorted(r.id for r in S.semantic_dedup(df, cents, threshold=0.9, fast=True).collect())
+        slow = sorted(r.id for r in S.semantic_dedup(df, cents, threshold=0.9, fast=False).collect())
+        assert fast == slow
+        # 1 and 2 both quantize to the zero vector and survive; of the
+        # genuine near-pair (3, 4), 3 is closer to the centroid -> drops
+        assert fast == [1, 2, 4]
+
     def test_semantic_dedup_plan_is_equi_join_no_python(self, vecs):
         centroids = vecs.filter(F.col("vec_id") < 4).select(
             F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("centroid")
