@@ -287,8 +287,12 @@ def unigram_kl_drift(
     Output: (word, c_a, c_b, p_a, p_b, kl_term) — probabilities and the
     contribution rounded to 1e-6 for cross-engine hash stability.
     """
+    # when/otherwise, not a bare equality cast: a NULL slice value must
+    # count toward slice B (the oracle's CASE ... ELSE 0 semantics); the
+    # bare `==` yields NULL, which sum() would silently drop — a word
+    # seen only in NULL-slice docs would get NULL counts instead of 0/n
     words = df.select(
-        (F.col(slice_col) == F.lit(slice_a)).cast("long").alias("ia"),
+        F.when(F.col(slice_col) == F.lit(slice_a), F.lit(1)).otherwise(F.lit(0)).alias("ia"),
         F.explode(words_expr(F.col(text_col))).alias("word"),
     )
     counts = words.groupBy("word").agg(
