@@ -3847,6 +3847,39 @@ def q_unigram_kl_drift(spark, sf_dir):
     return TS.unigram_kl_drift(_docs(spark, sf_dir), slice_col="lang", slice_a="en")
 
 
+# --------------------------------------------------------------------------
+# Post-window r5 registrations: everything below lands OUTSIDE the r5
+# driver window (the 50 front slots are full — see _R5_NEW) and gets its
+# first driver attestation in r6's rotation.  All of them run in the
+# local full gate today.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "json_props_rollup",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS n_with_field,
+           CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_val,
+           CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_val,
+           CAST(floor(avg(CAST(json_extract_string(props, '$.k') AS BIGINT)) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_val
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_props_rollup(spark, sf_dir):
+    """Semi-structured extraction: pull an integer field out of the JSON
+    ``props`` payload column and roll it up per event type — the typed
+    view over sidecar metadata every transcript table carries (tool-call
+    args, crawler headers). ``get_json_object`` is a JVM intrinsic
+    evaluated in the scan projection (zero Python, no extra pass); ONE
+    partial-agg exchange on the group key. Dirty/missing JSON degrades
+    to NULL, surfaced as the n_events - n_with_field coverage gap."""
+    from .operators.semistructured import json_field_rollup
+
+    return json_field_rollup(_t(spark, sf_dir, "events"))
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -949,3 +949,34 @@ class TestDirtyInputDegradation:
         cents = spark.createDataFrame([(1, [1.0, 0.0])], "centroid_id long, centroid array<double>")
         with pytest.raises(ValueError, match="VEC_SCALE"):
             S.kmeans_refine(emb, cents, scale=10_000)
+
+
+class TestJsonFieldRollup:
+    def test_rollup_and_dirty_json_degrades_to_null(self, spark):
+        from keras_ocr_spark.operators.semistructured import json_field_rollup
+
+        events = spark.createDataFrame(
+            [
+                (0, "click", '{"k": 10}'),
+                (1, "click", '{"k": 30}'),
+                (2, "click", "not json at all"),
+                (3, "view", '{"other": 1}'),
+                (4, "view", None),
+            ],
+            "event_id long, event_type string, props string",
+        )
+        out = {r.event_type: r for r in json_field_rollup(events).collect()}
+        c = out["click"]
+        assert (c.n_events, c.n_with_field, c.min_val, c.max_val) == (3, 2, 10, 30)
+        assert c.avg_val == 20.0
+        v = out["view"]  # field absent everywhere: coverage 0, NULL stats
+        assert (v.n_events, v.n_with_field, v.min_val, v.avg_val) == (2, 0, None, None)
+
+    def test_json_parse_stays_jvm_side(self, spark):
+        from keras_ocr_spark.operators.semistructured import json_field_rollup
+
+        events = spark.createDataFrame(
+            [(0, "click", '{"k": 1}')], "event_id long, event_type string, props string"
+        )
+        plan = json_field_rollup(events)._jdf.queryExecution().executedPlan().toString()
+        assert "EvalPython" not in plan and "Exchange" in plan
