@@ -3880,6 +3880,53 @@ def q_json_props_rollup(spark, sf_dir):
     return json_field_rollup(_t(spark, sf_dir, "events"))
 
 
+@register(
+    "dsir_importance",
+    """
+    WITH base AS (
+      SELECT doc_id AS id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS ia,
+             string_split(lower(text), ' ') AS w
+      FROM documents),
+    feats AS (
+      SELECT id, ia,
+             unnest(w || CASE WHEN len(w) >= 2
+                    THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                    ELSE [] END) AS f
+      FROM base),
+    ex AS (
+      SELECT id, ia,
+             CAST((strpos('0123456789abcdef', substr(md5(f), 1, 1)) - 1) * 16
+                  + strpos('0123456789abcdef', substr(md5(f), 2, 1)) - 1 AS BIGINT) AS b
+      FROM feats),
+    buckets AS (
+      SELECT b, CAST(sum(ia) AS BIGINT) AS c_t, CAST(count(*) AS BIGINT) AS c_all
+      FROM ex GROUP BY b),
+    tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n_t,
+                   CAST(sum(c_all) AS BIGINT) AS n_all FROM buckets),
+    bterm AS (
+      SELECT b,
+             CAST(floor((ln((c_t + 1.0) / (n_t + 256.0))
+                         - ln((c_all + 1.0) / (n_all + 256.0)))
+                        * 1000000 + 0.5) AS BIGINT) AS qterm
+      FROM buckets, tot)
+    SELECT ex.id AS id, CAST(count(*) AS BIGINT) AS n_feats,
+           CAST(sum(qterm) / 1000000.0 AS DOUBLE) AS logw
+    FROM ex JOIN bterm USING (b)
+    GROUP BY ex.id
+    """,
+)
+def q_dsir_importance(spark, sf_dir):
+    """DSIR data selection (Xie et al. 2023): per-document importance
+    weight ln(p_target/p_raw) over hashed unigram+bigram buckets, the
+    English slice standing in as the trusted target domain. Integer
+    bucket counts + int64 micro-quantized per-bucket log terms make the
+    per-doc sum associative and bit-identical across engines. One
+    explode feeding the 256-key distribution groupBy and the per-doc
+    score groupBy; term table + totals broadcast — word-count cost."""
+    return C.dsir_scores(_docs(spark, sf_dir), target_pred=F.col("lang") == "en")
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

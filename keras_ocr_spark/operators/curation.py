@@ -486,3 +486,88 @@ def token_budget_mix(
     return out.filter(F.col("cum_tokens") <= budget).select(
         "id", "lang", "n_tokens", F.col("cum_tokens").cast("long").alias("cum_tokens")
     )
+
+
+def dsir_scores(
+    df: DataFrame,
+    target_pred: Column,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """DSIR importance scores (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): score every document by
+    how much more likely its hashed n-gram bag is under the TARGET
+    distribution (rows where ``target_pred`` holds, e.g. a trusted
+    high-quality slice) than under the RAW corpus distribution —
+    ``log w(x) = Σ_features [ln p_t(bucket) - ln p_r(bucket)]`` with
+    unigram+bigram features hashed into ``n_buckets`` buckets and add-1
+    smoothing over the fixed bucket space. Selecting the top weights
+    (or Gumbel-resampling on them) is the paper's domain-matching
+    pretraining-data selection.
+
+    Cross-engine exactness: both distributions are integer bucket
+    counts; each bucket's log-ratio term is computed from those exact
+    integers and quantized to int64 micro-units (``floor(x*1e6+0.5)``),
+    so the per-document score is an INTEGER sum — associative, hence
+    identical under any aggregation order in Spark and DuckDB — divided
+    by 1e6 only at the end.
+
+    Scale shape: one explode feeding (a) the bucket-distribution groupBy
+    (key space = ``n_buckets``, map-side combined) and (b) the per-doc
+    score groupBy; the ≤``n_buckets``-row term table and the 1-row
+    totals are broadcast (the whitelisted 1-row BNLJ + a broadcast hash
+    join). No all-pairs, no Python, no global sort — word-count cost at
+    100 TB, like :func:`~.textstats.unigram_kl_drift`.
+    """
+    w = words_expr(F.lower(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.when(target_pred, F.lit(1)).otherwise(F.lit(0)).alias("ia"),
+        w.alias("_w"),
+    )
+    # sequence(1, 0) DESCENDS in Spark (see shingles_expr) — guard short docs
+    bigrams = F.when(
+        F.size("_w") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("_w") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("_w"), i), F.element_at(F.col("_w"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ex = base.select(
+        "id",
+        "ia",
+        F.explode(F.concat(F.col("_w"), bigrams)).alias("f"),
+    ).select(
+        "id",
+        "ia",
+        F.conv(F.substring(F.md5("f"), 1, 2), 16, 10).cast("long").alias("b"),
+    )
+    buckets = ex.groupBy("b").agg(
+        F.sum("ia").cast("long").alias("c_t"),
+        F.count(F.lit(1)).cast("long").alias("c_all"),
+    )
+    tot = buckets.agg(
+        F.sum("c_t").cast("long").alias("n_t"),
+        F.sum("c_all").cast("long").alias("n_all"),
+    )
+    nb = float(n_buckets)
+    qterm = F.floor(
+        (
+            F.log((F.col("c_t") + F.lit(1.0)) / (F.col("n_t") + F.lit(nb)))
+            - F.log((F.col("c_all") + F.lit(1.0)) / (F.col("n_all") + F.lit(nb)))
+        )
+        * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    bterm = buckets.crossJoin(F.broadcast(tot)).select("b", qterm.alias("qterm"))
+    return (
+        ex.join(F.broadcast(bterm), "b")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            (F.sum("qterm") / F.lit(1_000_000.0)).cast("double").alias("logw"),
+        )
+    )

@@ -728,3 +728,51 @@ class TestCompressionRatioFullParity:
             for r in TS.compression_ratios(docs).collect()
         }
         assert got == want and len(got) > 0
+
+
+class TestDsirScores:
+    def test_target_like_doc_scores_higher(self, spark):
+        from keras_ocr_spark.operators.curation import dsir_scores
+
+        # target slice (lang=en) talks about spark; raw noise differs
+        docs = spark.createDataFrame(
+            [
+                (1, "en", "spark shuffles data fast"),
+                (2, "en", "spark joins data well"),
+                (3, "xx", "gato perro casa arbol"),
+                (4, "xx", "spark shuffles data fast"),  # target-like text, raw slice
+                (5, "xx", "perro casa arbol gato"),
+            ],
+            "doc_id long, lang string, text string",
+        )
+        out = {r.id: r for r in dsir_scores(docs, F.col("lang") == "en").collect()}
+        # docs made of target-slice n-grams outweigh raw-only docs,
+        # regardless of their own slice label
+        assert out[4].logw > out[3].logw
+        assert out[1].logw > out[5].logw
+        assert out[1].n_feats == 7  # 4 unigrams + 3 bigrams
+
+    def test_short_and_null_docs(self, spark):
+        from keras_ocr_spark.operators.curation import dsir_scores
+
+        docs = spark.createDataFrame(
+            [(1, "en", "word"), (2, "en", None)],
+            "doc_id long, lang string, text string",
+        )
+        out = {r.id: r for r in dsir_scores(docs, F.col("lang") == "en").collect()}
+        assert out[1].n_feats == 1  # single word: no bigrams, no sequence(1,0) trap
+        assert 2 not in out  # null text contributes no features, drops out
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        from keras_ocr_spark.operators.curation import dsir_scores
+
+        docs = spark.createDataFrame(
+            [(1, "en", "a b c")], "doc_id long, lang string, text string"
+        )
+        plan = (
+            dsir_scores(docs, F.col("lang") == "en")
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan and "EvalPython" not in plan
+        # the 1-row totals ride the one whitelisted BNLJ broadcast
+        assert plan.count("BroadcastNestedLoopJoin") <= 1
