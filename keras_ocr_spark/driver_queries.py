@@ -3927,6 +3927,58 @@ def q_dsir_importance(spark, sf_dir):
     return C.dsir_scores(_docs(spark, sf_dir), target_pred=F.col("lang") == "en")
 
 
+@register(
+    "shingle_pagerank",
+    """
+    WITH sh AS (
+      SELECT doc_id AS id,
+             unnest(list_distinct(list_transform(range(1, len(string_split(text, ' ')) - 1),
+                    i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')))) AS s
+      FROM documents),
+    dg AS (SELECT id, md5(s) AS g FROM sh),
+    sizes AS (SELECT g FROM dg GROUP BY g HAVING count(*) BETWEEN 2 AND 8),
+    elig AS (SELECT dg.id, dg.g FROM dg JOIN sizes USING (g)),
+    pairs AS (SELECT DISTINCT a.id AS src, b.id AS dst
+              FROM elig a JOIN elig b ON a.g = b.g AND a.id < b.id),
+    edges AS (SELECT src, dst FROM pairs
+              UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY src),
+    r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+    s1 AS (SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+           FROM edges e JOIN r0 r ON e.src = r.id JOIN deg d ON e.src = d.id
+           GROUP BY e.dst),
+    r1 AS (SELECT n.id, CAST(150000 + (17 * coalesce(s1.s, 0)) // 20 AS BIGINT) AS r
+           FROM deg n LEFT JOIN s1 ON n.id = s1.id),
+    s2 AS (SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+           FROM edges e JOIN r1 r ON e.src = r.id JOIN deg d ON e.src = d.id
+           GROUP BY e.dst),
+    r2 AS (SELECT n.id, CAST(150000 + (17 * coalesce(s2.s, 0)) // 20 AS BIGINT) AS r
+           FROM deg n LEFT JOIN s2 ON n.id = s2.id),
+    s3 AS (SELECT e.dst AS id, CAST(sum(r.r // d.deg) AS BIGINT) AS s
+           FROM edges e JOIN r2 r ON e.src = r.id JOIN deg d ON e.src = d.id
+           GROUP BY e.dst),
+    r3 AS (SELECT n.id, CAST(150000 + (17 * coalesce(s3.s, 0)) // 20 AS BIGINT) AS r
+           FROM deg n LEFT JOIN s3 ON n.id = s3.id)
+    SELECT n.id AS id, n.deg AS deg, CAST(r3.r / 1000000.0 AS DOUBLE) AS rank_val
+    FROM deg n JOIN r3 ON n.id = r3.id
+    """,
+)
+def q_shingle_pagerank(spark, sf_dir):
+    """Graph centrality over the duplicate-overlap graph: PageRank (3
+    fixed iterations, damping 17/20) on edges linking documents that
+    share a word 3-gram shingle — surfaces template/boilerplate hub
+    families for down-weighting. All-integer micro-unit rank updates
+    (truncating DIV is identical in Spark and DuckDB) make the iterated
+    result bit-exact cross-engine, same discipline as the quantized
+    Lloyd iterations. Digest groups capped at 8 docs: never quadratic
+    on hot shingles; each iteration is one equi-join + one groupBy."""
+    from .operators.graphrank import shingle_graph_pagerank
+
+    return shingle_graph_pagerank(_docs(spark, sf_dir)).withColumnRenamed(
+        "rank", "rank_val"
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -980,3 +980,89 @@ class TestJsonFieldRollup:
         )
         plan = json_field_rollup(events)._jdf.queryExecution().executedPlan().toString()
         assert "EvalPython" not in plan and "Exchange" in plan
+
+
+class TestShinglePagerank:
+    """operators/graphrank.py — integer fixed-point PageRank over the
+    shared-shingle graph, bit-exact vs an independent Python loop."""
+
+    # path graph 1-2-3 via shared 3-gram shingles; 4 isolated; 5..13
+    # share only one hot shingle held by 9 > max_group=8 docs -> no edges
+    PR_DOCS = (
+        [
+            (1, "a b c x1 y1"),
+            (2, "a b c x2 y2"),
+            (3, "b c x2 z extra"),
+            (4, "isolated words only right here"),
+        ]
+        + [(i, f"hot hot hot u{i} v{i}") for i in range(5, 14)]
+    )
+
+    @staticmethod
+    def _python_reference(texts, k=3, max_group=8, iters=3, d_num=17, d_den=20):
+        from collections import defaultdict
+
+        groups = defaultdict(set)
+        for i, t in texts:
+            w = t.split()
+            for j in range(len(w) - k + 1):
+                groups[" ".join(w[j : j + k])].add(i)
+        pairs = set()
+        for members in groups.values():
+            if 2 <= len(members) <= max_group:
+                ms = sorted(members)
+                for x in range(len(ms)):
+                    for y in range(x + 1, len(ms)):
+                        pairs.add((ms[x], ms[y]))
+        edges = list(pairs) + [(b, a) for a, b in pairs]
+        deg = defaultdict(int)
+        for s, _ in edges:
+            deg[s] += 1
+        scale = 1_000_000
+        base = (scale * (d_den - d_num)) // d_den
+        r = {n: scale for n in deg}
+        for _ in range(iters):
+            contrib = defaultdict(int)
+            for s, d in edges:
+                contrib[d] += r[s] // deg[s]
+            r = {n: base + (d_num * contrib[n]) // d_den for n in deg}
+        return {n: (deg[n], r[n] / scale) for n in deg}
+
+    def test_bit_exact_vs_python_reference(self, spark):
+        from keras_ocr_spark.operators.graphrank import shingle_graph_pagerank
+
+        df = spark.createDataFrame(self.PR_DOCS, "doc_id long, text string")
+        got = {r.id: (r.deg, r.rank) for r in shingle_graph_pagerank(df).collect()}
+        want = self._python_reference(self.PR_DOCS)
+        assert got == want
+        # path graph 1-2-3 only: isolated + hot-shingle docs are not nodes
+        assert set(got) == {1, 2, 3}
+        assert got[2][0] == 2 and got[1] == got[3]  # symmetry holds exactly
+
+    def test_hot_shingle_cap_blocks_quadratic_blowup(self, spark):
+        from keras_ocr_spark.operators.graphrank import shingle_graph_pagerank
+
+        # all 9 docs share ONE shingle; group size 9 > max_group=8 -> empty
+        df = spark.createDataFrame(
+            [(i, f"hot hot hot u{i} v{i}") for i in range(9)], "doc_id long, text string"
+        )
+        assert shingle_graph_pagerank(df).count() == 0
+        # raising the cap to 9 admits the group: complete graph K9, deg 8
+        out = shingle_graph_pagerank(df, max_group=9).collect()
+        assert len(out) == 9 and all(r.deg == 8 for r in out)
+        # regular graph: PageRank fixed point stays at the uniform rank
+        assert all(r.rank == out[0].rank for r in out)
+
+    def test_plan_no_cartesian_no_python(self, spark):
+        from keras_ocr_spark.operators.graphrank import shingle_graph_pagerank
+
+        df = spark.createDataFrame(self.PR_DOCS, "doc_id long, text string")
+        plan = shingle_graph_pagerank(df)._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan and "EvalPython" not in plan
+
+    def test_rejects_zero_iters(self, spark):
+        from keras_ocr_spark.operators.graphrank import shingle_graph_pagerank
+
+        df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+        with pytest.raises(ValueError, match="iters"):
+            shingle_graph_pagerank(df, iters=0)
