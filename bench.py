@@ -73,8 +73,11 @@ BENCH_QUERIES_R4 = [
     "strip_boilerplate",
 ]
 
-#: Added in round 5: bigram LM scoring, containment dedup, and the
-#: skew-hardened token-budget mix.
+#: Added in round 5: bigram LM scoring, containment dedup, the
+#: skew-hardened token-budget mix, and the three post-window-freeze
+#: additions (JSON rollup, DSIR scoring, shingle PageRank — registered
+#: outside the 50-slot driver window, oracle-checked locally, driver
+#: attestation lands r6).
 BENCH_QUERIES_R5 = [
     "bigram_logprob",
     "dedup_containment",
@@ -82,6 +85,9 @@ BENCH_QUERIES_R5 = [
     "quality_percentile_gate",
     "semantic_dedup",
     "unigram_kl_drift",
+    "json_props_rollup",
+    "dsir_importance",
+    "shingle_pagerank",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+
