@@ -3979,6 +3979,67 @@ def q_shingle_pagerank(spark, sf_dir):
     )
 
 
+@register(
+    "funnel_stages",
+    """
+    WITH win AS (SELECT * FROM events WHERE ts < TIMESTAMP '2024-01-04 00:00:00'),
+    s0 AS (SELECT user_id AS u, min(epoch_us(ts)) AS t FROM win
+           WHERE event_type = 'view' GROUP BY user_id),
+    s1 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+           FROM win e JOIN s0 ON e.user_id = s0.u AND epoch_us(e.ts) > s0.t
+           WHERE e.event_type = 'click' GROUP BY e.user_id),
+    s2 AS (SELECT e.user_id AS u, min(epoch_us(e.ts)) AS t
+           FROM win e JOIN s1 ON e.user_id = s1.u AND epoch_us(e.ts) > s1.t
+           WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+           CAST(count(*) AS BIGINT) AS n_users FROM s0
+    UNION ALL SELECT CAST(1 AS BIGINT), 'click', CAST(count(*) AS BIGINT) FROM s1
+    UNION ALL SELECT CAST(2 AS BIGINT), 'purchase', CAST(count(*) AS BIGINT) FROM s2
+    """,
+)
+def q_funnel_stages(spark, sf_dir):
+    """Ordered-funnel conversion (view -> click -> purchase within the
+    first 3 days, first-touch, strictly-after semantics): one filtered
+    min-aggregate plus one user-key equi-join per stage; the frontier
+    shrinks monotonically (115 -> 66 -> 37 at sf0.01), so later stages
+    are broadcast-eligible under AQE at scale."""
+    from .operators.funnel import funnel_stages
+
+    win = _t(spark, sf_dir, "events").filter(
+        F.col("ts") < F.lit("2024-01-04 00:00:00").cast("timestamp")
+    )
+    return funnel_stages(win, ["view", "click", "purchase"])
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH w AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w FROM documents)
+      WHERE length(w) >= 2 GROUP BY w),
+    p AS (
+      SELECT unnest([substr(w, CAST(i AS INT), 2) for i in range(1, length(w))]) AS pair,
+             cnt
+      FROM w)
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM p GROUP BY pair ORDER BY n DESC, pair LIMIT 50
+    """,
+)
+def q_bpe_pair_counts(spark, sf_dir):
+    """One round of BPE-tokenizer training (Sennrich et al. 2016): the
+    corpus-wide top-50 adjacent character pairs over lowercased
+    alphabetic words. Words aggregate to (word, count) FIRST (Zipf: the
+    distinct-word table is tiny next to the corpus), then each distinct
+    word's pairs explode weighted by count — two partial-agg shuffles +
+    one TakeOrdered, expression-only. The (n DESC, pair ASC) cut is a
+    total order, so the LIMIT boundary is engine-stable even with tied
+    counts."""
+    from .operators.encode import bpe_pair_counts
+
+    return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -113,3 +113,53 @@ def epoch_shuffle(df: DataFrame, seed: int, key_col: str = "doc_id") -> DataFram
     k = epoch_shuffle_key_expr(F.col(key_col), seed)
     w = W.orderBy(k.asc(), F.col(key_col).asc())
     return df.withColumn("shuffle_pos", F.row_number().over(w))
+
+
+def bpe_pair_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    top_n: int = 50,
+    min_word_len: int = 2,
+) -> DataFrame:
+    """One round of BPE-tokenizer training (Sennrich et al. 2016): the
+    corpus-wide counts of adjacent symbol pairs, here at the character
+    level over lowercased alphabetic words. Returns the ``top_n`` pairs
+    as ``(pair, n)``, ordered (n DESC, pair ASC) so the cut is total
+    and deterministic.
+
+    The classic two-stage shape that makes BPE training tractable at
+    corpus scale: aggregate words to (word, count) FIRST (the word
+    vocabulary is tiny next to the corpus — Zipf), then explode each
+    distinct word's adjacent pairs weighted by its count. Two
+    partial-agg shuffles + one TakeOrdered; all expression-only (the
+    pair explode is ``transform(sequence(...))`` array algebra per
+    distinct word, guarded against Spark's descending ``sequence(1, 0)``
+    by the ``min_word_len`` filter).
+    """
+    if min_word_len < 2:
+        raise ValueError("min_word_len must be >= 2 (pairs need 2 symbols)")
+    words = (
+        df.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(F.col(text_col)), F.lit("[a-z]+"), 0)
+            ).alias("w")
+        )
+        .filter(F.length("w") >= min_word_len)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    pairs = words.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - F.lit(1)),
+                lambda i: F.col("w").substr(i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(top_n)
+    )

@@ -41,9 +41,11 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    attempted = 0
     for name, (fn, sql) in QUERIES.items():
         if only and name not in only:
             continue
+        attempted += 1
         try:
             sdf = fn(spark, sf_dir)
             s_cols = sdf.columns
@@ -82,7 +84,8 @@ def main() -> int:
         print(f"OK    {name}: rows={len(s_rows)}")
 
     spark.stop()
-    print(f"\n{len(QUERIES) - len(failures)}/{len(QUERIES)} queries match")
+    scope = "" if not only else f" (of {len(QUERIES)} registered; filtered run)"
+    print(f"\n{attempted - len(failures)}/{attempted} queries match{scope}")
     return 1 if failures else 0
 
 

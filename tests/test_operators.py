@@ -525,6 +525,33 @@ class TestEncodeAndFilters:
         assert p7a != p8  # new epoch seed -> new permutation
         assert sorted(p7a) == list(range(30))  # a permutation, not a sample
 
+    def test_bpe_pair_counts_hand_computed(self, spark):
+        """One BPE round over a tiny corpus, weights checked by hand:
+        word counts aggregate BEFORE the pair explode, so a repeated
+        word contributes its count, not one."""
+        from keras_ocr_spark.operators import encode as E
+
+        df = spark.createDataFrame(
+            [(0, "aa ab aa"), (1, "THE the cat"), (2, "a x don't")],
+            "doc_id int, text string",
+        )
+        # words (len>=2): aa cnt 2, ab 1, the 2, cat 1, don 1
+        # ("a"/"x"/"t" are single-char; "don't" splits at the apostrophe)
+        got = {r.pair: r.n for r in E.bpe_pair_counts(df, top_n=100).collect()}
+        assert got == {
+            "aa": 2, "ab": 1, "th": 2, "he": 2, "ca": 1, "at": 1, "do": 1, "on": 1,
+        }
+
+    def test_bpe_pair_counts_topn_cut_is_total_order(self, spark):
+        from keras_ocr_spark.operators import encode as E
+
+        df = spark.createDataFrame([(0, "aa ab aa the the cat")], "doc_id int, text string")
+        top = [(r.pair, r.n) for r in E.bpe_pair_counts(df, top_n=3).collect()]
+        # ties at n=2 cut by pair ASC: aa, he, th
+        assert sorted(top) == [("aa", 2), ("he", 2), ("th", 2)]
+        with pytest.raises(ValueError):
+            E.bpe_pair_counts(df, min_word_len=1)
+
     def test_inclusion_filter_goldens(self, spark):
         """tools.py:301-311 semantics: ratio threshold + min length +
         zero-length rejection."""

@@ -217,6 +217,9 @@ class TestNoAccidentalCartesian:
         # 1-row broadcast of (n_a, n_b, V) totals onto the
         # vocabulary-sized counts frame (same 1-row-side shape).
         "unigram_kl_drift",
+        # 1-row broadcast of (n_t, n_all) totals onto the
+        # n_buckets-row term table (same 1-row-side shape).
+        "dsir_importance",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {
