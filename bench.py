@@ -88,6 +88,10 @@ BENCH_QUERIES_R5 = [
     "json_props_rollup",
     "dsir_importance",
     "shingle_pagerank",
+    "funnel_stages",
+    "bpe_pair_counts",
+    "cohort_retention",
+    "tfidf_top_terms",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

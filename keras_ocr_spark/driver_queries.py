@@ -4040,6 +4040,59 @@ def q_bpe_pair_counts(spark, sf_dir):
     return bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
 
 
+@register(
+    "cohort_retention",
+    """
+    WITH act AS (
+      SELECT DISTINCT user_id AS u, epoch_us(ts) // 172800000000 AS w
+      FROM events WHERE event_type = 'purchase'),
+    first AS (SELECT u, min(w) AS cw FROM act GROUP BY u)
+    SELECT CAST(cw AS BIGINT) AS cohort_week, CAST(w - cw AS BIGINT) AS week_offset,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM act JOIN first USING(u) GROUP BY cw, w - cw
+    """,
+)
+def q_cohort_retention(spark, sf_dir):
+    """Cohort retention triangle over purchases in 2-day periods (fine
+    enough to discriminate at sf0.01: 6 cohorts, genuine decay). Period
+    bucketing is integer micros DIV — engine-identical, no calendar/tz
+    semantics. Two user-key aggs (the distinct's partitioning reused by
+    the min and the join) + one tiny (cohort, offset) groupBy."""
+    from .operators.funnel import cohort_retention
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return cohort_retention(ev, week_us=172_800_000_000)
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH t AS (
+      SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+    tf AS (SELECT id, term, CAST(count(*) AS BIGINT) AS tf FROM t
+           WHERE length(term) > 0 GROUP BY id, term),
+    dfs AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    sc AS (SELECT id, tf.term AS term,
+                  CAST(floor(tf * ln((n + 1.0) / (df + 1.0)) * 1000000 + 0.5) AS BIGINT) AS score
+           FROM tf JOIN dfs USING(term), n),
+    r AS (SELECT id, term, score,
+                 row_number() OVER (PARTITION BY id ORDER BY score DESC, term) AS rk
+          FROM sc)
+    SELECT CAST(id AS BIGINT) AS id, term, score, CAST(rk AS BIGINT) AS rk FROM r WHERE rk <= 3
+    """,
+)
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document keyword extraction: top-3 terms by TF-IDF, the
+    score int64-quantized BEFORE ranking so rank order is
+    integer-decided cross-engine (ties cut by term ASC — total order).
+    One corpus explode feeding tf and df aggs, a 1-row corpus-size
+    broadcast, and a doc-partitioned window — no global sort."""
+    from .operators.retrieval import tfidf_top_terms
+
+    return tfidf_top_terms(_docs(spark, sf_dir), k=3)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

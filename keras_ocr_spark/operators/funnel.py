@@ -1,4 +1,4 @@
-"""Ordered-funnel conversion analysis over event logs.
+"""Ordered-funnel conversion and cohort-retention analysis over event logs.
 
 Counts, for an ordered list of stages, the users whose first stage-i
 event occurs STRICTLY AFTER their stage-(i-1) entry time (first-touch
@@ -69,3 +69,37 @@ def funnel_stages(
     for r in rows[1:]:
         out = out.unionAll(r)
     return out
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    week_us: int = 7 * 86_400_000_000,
+) -> DataFrame:
+    """Cohort retention matrix: users grouped by their FIRST-activity
+    week (the cohort), counted in each subsequent week they were active.
+    Returns ``(cohort_week, week_offset, n_users)`` — the classic
+    retention triangle, offset 0 being the cohort's own size.
+
+    Weeks are pure integer arithmetic — ``epoch_micros DIV week_us`` —
+    not calendar ``date_trunc``, so the bucketing is bit-identical in
+    any engine and free of timezone/week-start semantics (the repo's
+    cross-engine discipline; see ``unix_micros`` use throughout).
+
+    Scale shape: one (user, week) distinct + one per-user min — both
+    hash-keyed on the user column, the second reusing the first's
+    partitioning — then one groupBy on the (cohort, offset) pair whose
+    key space is weeks², tiny. No windows, no global sort.
+    """
+    wk = (F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(week_us)).cast("long")
+    act = events.select(F.col(user_col).alias("u"), wk.alias("w")).distinct()
+    first = act.groupBy("u").agg(F.min("w").alias("cw"))
+    return (
+        act.join(first, "u")
+        .groupBy(
+            F.col("cw").alias("cohort_week"),
+            (F.col("w") - F.col("cw")).alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    )

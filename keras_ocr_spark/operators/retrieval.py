@@ -143,3 +143,55 @@ def inverted_index(
         F.count("*").cast("long").alias("df"),
         F.sort_array(F.collect_list("id")).alias("postings"),
     )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document keyword extraction: the top ``k`` terms of each
+    document by TF-IDF, ``score = tf * ln((N+1)/(df+1))`` quantized to
+    int64 micro-units (the repo's cross-engine float discipline — the
+    per-term product is floor-rounded BEFORE ranking, so rank order is
+    integer-decided in any engine). Returns ``(id, term, score, rk)``
+    with ``rk`` 1-based and ties cut by term ASC (total order).
+
+    The materialized complement of :func:`bm25_scores` (which scans for
+    a FIXED query): this explodes the corpus once into (doc, term, tf),
+    derives document frequencies from that same frame, broadcasts the
+    1-row corpus size back (the whitelisted 1-row-broadcast shape), and
+    ranks inside each document's partition — no global sort, no
+    corpus-sized window. Explode -> two partial-agg shuffles + one
+    doc-key window; keyword extraction at word-count cost.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    tf = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(F.split(F.lower(F.col(text_col)), " ")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        .groupBy("id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    n = df.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    score = F.floor(
+        F.col("tf") * F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) * F.lit(1_000_000.0)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        tf.join(dfs, "term")
+        .crossJoin(F.broadcast(n))
+        .select("id", "term", score.alias("score"))
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= k)
+    )

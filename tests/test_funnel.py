@@ -77,3 +77,66 @@ def test_funnel_plan_no_cartesian(events):
         .toString()
     )
     assert "CartesianProduct" not in plan
+
+
+class TestCohortRetention:
+    def test_hand_computed_triangle(self, spark):
+        from keras_ocr_spark.operators.funnel import cohort_retention
+
+        day = 86_400_000_000
+        rows = [
+            # u1 first active week 0, returns weeks 1 and 3
+            (1, dt.datetime(1970, 1, 2)),
+            (1, dt.datetime(1970, 1, 9)),
+            (1, dt.datetime(1970, 1, 24)),
+            # u2 first active week 0 only (two events same week dedupe)
+            (2, dt.datetime(1970, 1, 3)),
+            (2, dt.datetime(1970, 1, 5)),
+            # u3 first active week 1, returns week 2
+            (3, dt.datetime(1970, 1, 10)),
+            (3, dt.datetime(1970, 1, 16)),
+        ]
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        got = {
+            (r.cohort_week, r.week_offset): r.n_users
+            for r in cohort_retention(df, week_us=7 * day).collect()
+        }
+        assert got == {
+            (0, 0): 2,  # u1, u2
+            (0, 1): 1,  # u1
+            (0, 3): 1,  # u1
+            (1, 0): 1,  # u3
+            (1, 1): 1,  # u3
+        }
+
+
+class TestTfidfTopTerms:
+    def test_scores_and_ranks(self, spark):
+        import math
+
+        from keras_ocr_spark.operators.retrieval import tfidf_top_terms
+
+        df = spark.createDataFrame(
+            [(0, "cat cat dog"), (1, "dog fish"), (2, "fish fish fish")],
+            "doc_id long, text string",
+        )
+        out = {(r.id, r.term): (r.score, r.rk) for r in tfidf_top_terms(df, k=2).collect()}
+
+        def s(tf, df_):
+            return math.floor(tf * math.log(4.0 / (df_ + 1.0)) * 1e6 + 0.5)
+
+        # doc 0: cat tf=2 df=1, dog tf=1 df=2 -> cat ranks 1
+        assert out[(0, "cat")] == (s(2, 1), 1)
+        assert out[(0, "dog")] == (s(1, 2), 2)
+        # doc 1: dog and fish both tf=1 df=2 -> tie cut by term ASC
+        assert out[(1, "dog")][1] == 1 and out[(1, "fish")][1] == 2
+        # doc 2: only one distinct term -> a single row, k=2 notwithstanding
+        assert out[(2, "fish")] == (s(3, 2), 1)
+        assert len([k for k in out if k[0] == 2]) == 1
+
+    def test_k_validation(self, spark):
+        from keras_ocr_spark.operators.retrieval import tfidf_top_terms
+
+        df = spark.createDataFrame([(0, "a")], "doc_id long, text string")
+        with pytest.raises(ValueError):
+            tfidf_top_terms(df, k=0)

@@ -220,6 +220,9 @@ class TestNoAccidentalCartesian:
         # 1-row broadcast of (n_t, n_all) totals onto the
         # n_buckets-row term table (same 1-row-side shape).
         "dsir_importance",
+        # 1-row broadcast of the corpus size N onto the tf⋈df frame
+        # (same 1-row-side shape).
+        "tfidf_top_terms",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {
