@@ -92,6 +92,7 @@ BENCH_QUERIES_R5 = [
     "bpe_pair_counts",
     "cohort_retention",
     "tfidf_top_terms",
+    "weighted_sample",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4093,6 +4093,29 @@ def q_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(_docs(spark, sf_dir), k=3)
 
 
+@register(
+    "weighted_sample",
+    """
+    WITH s AS (
+      SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+             CAST(floor(ln((CAST(concat('0x', substr(md5(concat('0:', CAST(doc_id AS VARCHAR))), 1, 13)) AS BIGINT) + 0.5)
+                           / 4503599627370496.0)
+                        / n_chars * 1000000 + 0.5) AS BIGINT) AS score
+      FROM documents WHERE n_chars > 0)
+    SELECT id, weight, score FROM s ORDER BY score DESC, id LIMIT 100
+    """,
+)
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirakis A-ES), weight = n_chars: u is an exact 53-bit md5 double
+    (numerator + 0.5 over 2^52 — bit-identical in any engine), the sort
+    key int64-quantized before the top-k cut with an id tiebreak. One
+    map pass + TakeOrderedAndProject — no shuffle of the data."""
+    from .operators.curation import weighted_sample
+
+    return weighted_sample(_docs(spark, sf_dir), "n_chars", k=100)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -220,6 +220,50 @@ def stratified_sample(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006, the A-ES one-pass scheme): each row draws a uniform
+    ``u`` and the ``k`` rows with the largest ``u^(1/w)`` — equivalently
+    the largest ``ln(u)/w`` — are the sample, giving every row inclusion
+    probability proportional to its weight among survivors. The
+    quality-weighted corpus-subsampling primitive (weight = quality
+    score, token count, dedup-cluster mass, ...).
+
+    Engine-exact determinism, same discipline as :func:`stratified_sample`:
+    ``u = (hex13(md5(seed ':' id)) + 0.5) / 2^52`` — the numerator is an
+    exact 53-bit double and the divisor a power of two, so ``u`` is
+    bit-identical in any engine — and the sort key is int64-quantized
+    (``floor(ln(u)/w * 1e6 + 0.5)``) BEFORE ranking with an id
+    tiebreak, so the cut is a total order. Rows with non-positive or
+    NULL weight are excluded (they'd have zero inclusion mass).
+
+    Scale shape: one map pass + TakeOrderedAndProject (per-partition
+    top-k, then a k-row merge on the driver) — no global sort, no
+    window, no shuffle of the data itself.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    u = (h + F.lit(0.5)) / F.lit(4503599627370496.0)  # 2^52
+    score = F.floor(F.log(u) / F.col(weight_col) * F.lit(1_000_000.0) + F.lit(0.5)).cast("long")
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .select(F.col(id_col).alias("id"), F.col(weight_col).cast("double").alias("weight"), score.alias("score"))
+        .orderBy(F.desc("score"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 32,

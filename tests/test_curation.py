@@ -776,3 +776,34 @@ class TestDsirScores:
         assert "CartesianProduct" not in plan and "EvalPython" not in plan
         # the 1-row totals ride the one whitelisted BNLJ broadcast
         assert plan.count("BroadcastNestedLoopJoin") <= 1
+
+
+class TestWeightedSample:
+    def test_deterministic_and_weight_sensitive(self, spark):
+        # ids 0..199 weight 1; ids 200..219 weight 50: the heavy block
+        # is 20/220 of rows but ~83% of total mass — it must dominate.
+        rows = [(i, 1.0) for i in range(200)] + [(i, 50.0) for i in range(200, 220)]
+        df = spark.createDataFrame(rows, "doc_id long, w double")
+        a = sorted(r.id for r in C.weighted_sample(df, "w", k=20).collect())
+        b = sorted(r.id for r in C.weighted_sample(df, "w", k=20).collect())
+        assert a == b and len(a) == 20  # same seed -> identical sample
+        heavy = sum(1 for i in a if i >= 200)
+        assert heavy >= 10  # P(heavy) per slot ~0.83; 10+ of 20 is a loose floor
+        c = sorted(r.id for r in C.weighted_sample(df, "w", k=20, seed=1).collect())
+        assert a != c  # new seed -> new sample
+
+    def test_k_exceeds_population_and_bad_weights(self, spark):
+        df = spark.createDataFrame(
+            [(1, 2.0), (2, 0.0), (3, -1.0), (4, None), (5, 3.0)],
+            "doc_id long, w double",
+        )
+        got = sorted(r.id for r in C.weighted_sample(df, "w", k=10).collect())
+        assert got == [1, 5]  # zero/negative/NULL weights excluded
+        with pytest.raises(ValueError):
+            C.weighted_sample(df, "w", k=0)
+
+    def test_plan_is_take_ordered_no_shuffle_of_data(self, spark):
+        df = spark.createDataFrame([(i, 1.0) for i in range(50)], "doc_id long, w double")
+        plan = C.weighted_sample(df, "w", k=5)._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan
+        assert "Exchange" not in plan
