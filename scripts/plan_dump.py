@@ -116,6 +116,33 @@ HEADLINERS = {
         # aggregate shape (same as bigram_logprob's vocab count).
         {"cartesian": ("==", 0), "python_nodes": ("==", 0), "bnlj": ("<=", 1)},
     ),
+    "shingle_pagerank": (
+        "document-graph PageRank: digest-group-bounded edge build (never "
+        "all-pairs), 3 integer fixed-point join+agg rounds, zero Python",
+        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "dsir_importance": (
+        "DSIR importance: one feature explode, bucket + per-doc aggs, "
+        "totals as the one allowed 1-row broadcast, term-table broadcast "
+        "join — word-count cost, zero Python",
+        {"cartesian": ("==", 0), "python_nodes": ("==", 0), "bnlj": ("<=", 1)},
+    ),
+    "tfidf_top_terms": (
+        "TF-IDF keywords: one explode, tf/df aggs, corpus-size as the one "
+        "allowed 1-row broadcast, doc-partitioned ranking window — no "
+        "global sort",
+        # single_partition not bounded: the corpus-size N is a global
+        # 1-row agg — its FINAL step is SinglePartition over the
+        # already-reduced partials, the standard scalar aggregate shape
+        # (same exemption as unigram_kl_drift's totals).
+        {"cartesian": ("==", 0), "python_nodes": ("==", 0), "bnlj": ("<=", 1)},
+    ),
+    "weighted_sample": (
+        "A-ES weighted sampling: one map pass + TakeOrderedAndProject — "
+        "no shuffle beyond the sf-scale _docs repartition (which the "
+        "scan's own partitioning replaces at 100 TB), zero Python",
+        {"exchanges": ("<=", 1), "take_ordered": ("==", 1), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
+    ),
 }
 
 
