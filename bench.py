@@ -93,6 +93,7 @@ BENCH_QUERIES_R5 = [
     "cohort_retention",
     "tfidf_top_terms",
     "weighted_sample",
+    "hopping_window_counts",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4116,6 +4116,47 @@ def q_weighted_sample(spark, sf_dir):
     return weighted_sample(_docs(spark, sf_dir), "n_chars", k=100)
 
 
+@register(
+    "hopping_window_counts",
+    """
+    WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),
+    w AS (
+      SELECT unnest([(us // 300000000 - i) * 300000000 for i in range(0, 2)]) AS win_start_us,
+             event_type, value
+      FROM e)
+    SELECT CAST(win_start_us AS BIGINT) AS win_start_us, event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(sum(value) * 100 + 0.5) / 100 AS DOUBLE) AS total_value
+    FROM w GROUP BY win_start_us, event_type
+    """,
+)
+def q_hopping_window_counts(spark, sf_dir):
+    """BATCH hopping event-time windows via Spark's native TimeWindow
+    expression (F.window, 10-min length / 5-min slide — each event lands
+    in exactly 2 windows): the batch twin of the streaming
+    stream_windowed_counts query, exercising the window-assignment
+    operator itself rather than a hand-rolled explode. The oracle
+    derives the same window starts arithmetically (integer micros DIV
+    slide), pinning Spark's epoch-aligned assignment semantics. One
+    expand + one groupBy — the expansion factor is len/slide (bounded),
+    and the agg is map-side combined."""
+    ev = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts").cast("timestamp"), "10 minutes", "5 minutes")
+    return (
+        ev.groupBy(win.alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            pround(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_micros(F.col("win.start")).alias("win_start_us"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
