@@ -94,6 +94,7 @@ BENCH_QUERIES_R5 = [
     "tfidf_top_terms",
     "weighted_sample",
     "hopping_window_counts",
+    "dedup_prefix_filter",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

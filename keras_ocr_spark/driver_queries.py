@@ -4117,6 +4117,39 @@ def q_weighted_sample(spark, sf_dir):
 
 
 @register(
+    "dedup_prefix_filter",
+    f"""
+    WITH sh0 AS ({_SHINGLES_SQL}),
+    sh AS (SELECT id, unnest(shingles) AS shingle FROM sh0),
+    sizes AS (SELECT id, count(*) AS n_shingles FROM sh GROUP BY id),
+    common AS (
+      SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_common
+      FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+      GROUP BY a.id, b.id)
+    SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+           CAST(floor(CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS jaccard
+    FROM common JOIN sizes sa ON sa.id = common.id_a JOIN sizes sb ON sb.id = common.id_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_shingles + sb.n_shingles - n_common) >= CAST(0.7 AS DOUBLE)
+    """,
+)
+def q_dedup_prefix_filter(spark, sf_dir):
+    """EXACT Jaccard>=0.7 pairs via PREFIX FILTERING (All-Pairs /
+    PPJoin family): only each doc's rarest n-ceil(0.7n)+1 shingles are
+    self-joined (under the global frequency order, qualifying pairs
+    must collide inside both prefixes), full sets touched only to
+    verify candidates. The ORACLE is deliberately the naive full
+    inverted-index form — the value-hash equality IS the proof that
+    the pruned distributed plan loses nothing. Hot shingles fall out
+    of every prefix by construction (they sort last)."""
+    out = D.prefix_filter_jaccard_pairs(_docs(spark, sf_dir), threshold=0.7)
+    return out.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col("jaccard").cast("double").alias("jaccard"),
+    )
+
+
+@register(
     "hopping_window_counts",
     """
     WITH e AS (SELECT epoch_us(ts) AS us, event_type, value FROM events),

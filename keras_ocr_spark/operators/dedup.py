@@ -29,6 +29,7 @@ import hashlib
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -149,6 +150,70 @@ def containment_pairs(
             F.col("n_b").cast("long").alias("n_b"),
             pround(F.col("containment"), 6).alias("containment"),
         )
+    )
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """EXACT all-pairs Jaccard >= threshold via PREFIX FILTERING (the
+    All-Pairs / PPJoin family: Chaudhuri et al. 2006, Bayardo et al.
+    2007, Xiao et al. 2008) — same result set as
+    :func:`ngram_jaccard_pairs`, far fewer candidates at high
+    thresholds, and NO recall loss (unlike the MinHash-LSH path).
+
+    Under a global shingle order (corpus frequency ASC, shingle ASC —
+    rarest first maximizes pruning), two sets with Jaccard >= t must
+    share a shingle inside BOTH of their prefixes of length
+    ``n - ceil(t*n) + 1``: if all common shingles sat outside A's
+    prefix, the intersection would fit in A's suffix of size
+    ``ceil(t*|A|) - 1 < t*|A| <= |A∩B|`` — contradiction. So only
+    prefix shingles are self-joined; full sets are touched only to
+    verify candidates (:func:`verify_jaccard`). At t=0.7 the prefix is
+    ~30% of each set, cutting candidate generation ~10x vs the full
+    inverted-index join.
+
+    Scale shape: one shingle-frequency groupBy, one per-doc ranking
+    window (bounded by per-doc shingle counts), one prefix-only
+    equi-join with a size-ratio guard (``t <= min(n)/max(n)``), then
+    candidate-only verification. The hot-shingle problem solves itself:
+    high-frequency shingles sort to the END of the global order and
+    fall out of every prefix.
+    """
+    if not 0 < threshold <= 1:
+        raise ValueError("threshold must be in (0, 1]")
+    sh = shingle_docs(df, id_col, text_col, k)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    wn = W.partitionBy("id")
+    ranked = (
+        sh.join(freq, "shingle")
+        .withColumn("_p", F.row_number().over(wn.orderBy("_df", "shingle")))
+        .withColumn("_n", F.count(F.lit(1)).over(wn))
+    )
+    prefix = ranked.filter(
+        F.col("_p") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
+    ).select("id", "shingle", "_n")
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cands = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .filter(
+            (F.col("a._n") >= F.ceil(F.lit(threshold) * F.col("b._n")))
+            & (F.col("b._n") >= F.ceil(F.lit(threshold) * F.col("a._n")))
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return verify_jaccard(
+        cands,
+        sh.withColumnRenamed("id", "id_a"),
+        sh.withColumnRenamed("id", "id_b"),
+        "id_a",
+        "id_b",
+        threshold,
     )
 
 

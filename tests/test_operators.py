@@ -4,7 +4,10 @@ Small hand-built inputs with exactly known answers (the reference's
 golden-unit-test style, tests/test_tools.py + test_evaluation.py).
 """
 
+import random
+
 import pytest
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from keras_ocr_spark.operators import dedup as D
@@ -46,6 +49,90 @@ class TestNgramJaccard:
         # that relied on them only.
         out = D.ngram_jaccard_pairs(docs, threshold=0.1, max_shingle_df=1).collect()
         assert all(r.id_a < r.id_b for r in out)
+
+
+class TestPrefixFilterJaccard:
+    def _random_corpus(self, spark, seed):
+        """60 random docs + 12 planted near-dup pairs spanning the
+        0.5-0.9 Jaccard band (word substitutions at varying rates)."""
+        rnd = random.Random(seed)
+        vocab = [f"w{i}" for i in range(120)]
+        rows, nid = [], 0
+        for _ in range(60):
+            rows.append((nid, " ".join(rnd.choice(vocab) for _ in range(30))))
+            nid += 1
+        for j in range(12):
+            base = [rnd.choice(vocab) for _ in range(30)]
+            rows.append((nid, " ".join(base)))
+            mut = list(base)
+            for _ in range(1 + j % 5):
+                mut[rnd.randrange(len(mut))] = rnd.choice(vocab)
+            rows.append((nid + 1, " ".join(mut)))
+            nid += 2
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    @pytest.mark.parametrize("threshold", [0.5, 0.7, 0.9])
+    def test_equals_naive_inverted_index_join(self, spark, threshold):
+        """The prefix-filtered plan must return EXACTLY the naive
+        all-shingle join's result set — no recall loss (the property
+        the LSH path cannot offer)."""
+        for seed in (7, 23):
+            docs = self._random_corpus(spark, seed)
+            naive = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in D.ngram_jaccard_pairs(docs, threshold=threshold).collect()
+            }
+            pruned = {
+                (r.id_a, r.id_b): r.jaccard
+                for r in D.prefix_filter_jaccard_pairs(docs, threshold=threshold).collect()
+            }
+            assert pruned == naive
+
+    def test_prefix_actually_prunes_candidates(self, spark):
+        """At t=0.7 the prefix self-join must generate strictly fewer
+        candidate pairs than the full inverted-index join."""
+        docs = self._random_corpus(spark, 11)
+        sh = D.shingle_docs(docs)
+        a, b = sh.alias("a"), sh.alias("b")
+        full = (
+            a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+        t = 0.7
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        wn = W.partitionBy("id")
+        ranked = (
+            sh.join(freq, "shingle")
+            .withColumn("_p", F.row_number().over(wn.orderBy("_df", "shingle")))
+            .withColumn("_n", F.count(F.lit(1)).over(wn))
+        )
+        prefix = ranked.filter(F.col("_p") <= F.col("_n") - F.ceil(F.lit(t) * F.col("_n")) + 1)
+        pa, pb = prefix.alias("a"), prefix.alias("b")
+        pruned = (
+            pa.join(pb, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+            .select("a.id", "b.id")
+            .distinct()
+            .count()
+        )
+        assert pruned < full  # strictly fewer candidates...
+        # ...and the structural guarantee: at t=0.7 each doc indexes
+        # only ~n - ceil(0.7n) + 1 of its n shingles (~30% + 1).
+        n_sh, n_prefix = sh.count(), prefix.count()
+        assert n_prefix <= 0.35 * n_sh + docs.count()
+
+    def test_threshold_validation_and_plan(self, spark):
+        docs = self._random_corpus(spark, 3)
+        with pytest.raises(ValueError):
+            D.prefix_filter_jaccard_pairs(docs, threshold=0.0)
+        plan = (
+            D.prefix_filter_jaccard_pairs(docs, threshold=0.8)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
 class TestMinHashLSH:
