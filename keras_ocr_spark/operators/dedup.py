@@ -187,16 +187,23 @@ def prefix_filter_jaccard_pairs(
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
     sh = shingle_docs(df, id_col, text_col, k)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    # Corpus frequency as a COUNT WINDOW over the shingle key — one
+    # exchange on shingle, where a groupBy+join would shuffle the
+    # shingle frame twice (agg input + join probe).
+    ranked = sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
     wn = W.partitionBy("id")
-    ranked = (
-        sh.join(freq, "shingle")
-        .withColumn("_p", F.row_number().over(wn.orderBy("_df", "shingle")))
-        .withColumn("_n", F.count(F.lit(1)).over(wn))
-    )
+    ranked = ranked.withColumn(
+        "_p", F.row_number().over(wn.orderBy("_df", "shingle"))
+    ).withColumn("_n", F.count(F.lit(1)).over(wn))
     prefix = ranked.filter(
         F.col("_p") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
     ).select("id", "shingle", "_n")
+    # The prefix frame is SELF-JOINED below; without a lineage cut
+    # Catalyst plans the two-exchange ranking subplan twice (the same
+    # duplicated-subplan trap pinned in tests/test_plan_shape.py for
+    # pandas-UDF projections). The prefix is the ~30% slice — cheap to
+    # hold; `sh` itself is recomputed map-only for verification.
+    prefix = prefix.localCheckpoint(eager=False)
     a, b = prefix.alias("a"), prefix.alias("b")
     cands = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
