@@ -95,6 +95,8 @@ BENCH_QUERIES_R5 = [
     "weighted_sample",
     "hopping_window_counts",
     "dedup_prefix_filter",
+    "hll_distinct_users",
+    "cms_heavy_hitters",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

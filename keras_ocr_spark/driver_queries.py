@@ -36,6 +36,7 @@ from .operators import curation as C
 from .operators import dedup as D
 from .operators import encode as E
 from .operators import similarity as S
+from .operators import sketches as SK
 from .operators import textstats as TS
 from .plans.pipeline import extract
 
@@ -4188,6 +4189,96 @@ def q_hopping_window_counts(spark, sf_dir):
             "total_value",
         )
     )
+
+
+_HLL_ALPHA_NUM = repr(SK.hll_alpha_numerator(6))
+
+@register(
+    "hll_distinct_users",
+    f"""
+    WITH h AS (
+      SELECT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM events),
+    r AS (
+      SELECT event_type, h % 64 AS bucket,
+             CASE WHEN (h >> 6) = 0 THEN 47
+                  ELSE 47 - length(printf('%b', h >> 6)) END AS rho
+      FROM h),
+    regs AS (
+      SELECT event_type, bucket, max(rho) AS reg
+      FROM r GROUP BY event_type, bucket),
+    agg AS (
+      SELECT event_type, count(*) AS n_buckets,
+             sum(1::BIGINT << (47 - reg)) AS present_sum
+      FROM regs GROUP BY event_type),
+    ex AS (
+      SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT agg.event_type,
+           CAST(n_buckets AS BIGINT) AS n_buckets,
+           CAST(floor({_HLL_ALPHA_NUM}
+                      / CAST(present_sum + (64 - n_buckets) * (1::BIGINT << 47) AS DOUBLE)
+                      * 1000000 + 0.5) / 1000000 AS DOUBLE) AS hll_estimate,
+           CAST(exact_distinct AS BIGINT) AS exact_distinct
+    FROM agg JOIN ex ON agg.event_type = ex.event_type
+    """,
+)
+def q_hll_distinct_users(spark, sf_dir):
+    """HyperLogLog distinct users per event_type (b=6, m=64 registers)
+    NEXT TO the exact count — the fixed-size mergeable sketch for 100 TB
+    COUNT(DISTINCT): per group the shuffle carries at most 64 register
+    rows however large the input, and shards/days merge by elementwise
+    max. The oracle rebuilds every register AND the raw Flajolet
+    estimator bit-for-bit (integer fixed-point harmonic sum, shared
+    alpha literal), so the value hash attests the sketch itself — no
+    tolerance band. The exact column doubles as the accuracy exhibit."""
+    ev = _t(spark, sf_dir, "events")
+    est = SK.hll_distinct(ev, ["event_type"], "user_id", b=6)
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return est.join(ex, "event_type").select(
+        "event_type",
+        F.col("n_buckets").cast("long").alias("n_buckets"),
+        F.col("hll_estimate").cast("double").alias("hll_estimate"),
+        "exact_distinct",
+    )
+
+
+@register(
+    "cms_heavy_hitters",
+    """
+    WITH tok AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+    i4 AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    th AS (SELECT word, ('0x' || substr(md5(word), 1, 13))::BIGINT AS h FROM tok),
+    cells AS (
+      SELECT i, (h >> (8 * i)) % 256 AS bucket
+      FROM th CROSS JOIN i4),
+    sk AS (SELECT i, bucket, count(*) AS cnt FROM cells GROUP BY i, bucket),
+    words AS (SELECT DISTINCT word, ('0x' || substr(md5(word), 1, 13))::BIGINT AS h FROM tok),
+    probes AS (
+      SELECT word, i, (h >> (8 * i)) % 256 AS bucket
+      FROM words CROSS JOIN i4),
+    est AS (
+      SELECT word, min(cnt) AS cms_count
+      FROM probes JOIN sk USING (i, bucket)
+      GROUP BY word)
+    SELECT word, CAST(cms_count AS BIGINT) AS cms_count
+    FROM est ORDER BY cms_count DESC, word ASC LIMIT 20
+    """,
+)
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-Min heavy hitters: top-20 words by CMS-estimated frequency
+    (d=4 hash rows x w=256 buckets = 1024 cells TOTAL, corpus-size
+    independent — the mergeable frequency summary for 100 TB streams;
+    sketches of shards ADD cell-wise). Estimates are integers (min over
+    the word's 4 bucket counts, an overestimate never an undercount) so
+    the oracle matches exactly; ties at the cut break on the word. The
+    probe side broadcasts the 1024-cell sketch — no join ever carries
+    the corpus."""
+    out = SK.cms_heavy_hitters(_docs(spark, sf_dir), "text", d=4, w=256, top_n=20)
+    return out.select("word", F.col("cms_count").cast("long").alias("cms_count"))
 
 
 # ==========================================================================

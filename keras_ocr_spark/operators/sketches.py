@@ -1,0 +1,232 @@
+"""Mergeable sketches: HyperLogLog distinct-count and Count-Min frequency.
+
+The fixed-size-summary answer to 100 TB aggregation: both sketches are
+bounded-size state (HLL: 2^b registers per group; CMS: d*w cells TOTAL
+regardless of corpus size), built with ONE map-side-combinable groupBy,
+and mergeable (HLL: elementwise max; CMS: elementwise sum) — so shards,
+days, or streaming micro-batches combine without re-reading data.
+Reference analog: the recognizer's alphabet/frequency audits over its
+training corpus (/root/reference/keras_ocr/recognition.py:61-74), lifted
+to sublinear sketch form.
+
+Cross-engine exactness (the repo's oracle bar): every hash is the md5
+hex-prefix integer convention from ``functions/hashing.py``, every
+register/cell is integer arithmetic, and the one float op in the HLL
+estimator divides two values that are EXACT in double (the fixed-point
+harmonic sum is <= 2^53 by construction), so Spark and DuckDB agree to
+the bit — the value hash attests the sketch itself, not a tolerance.
+
+HLL estimator notes (Flajolet et al. 2007): we emit the RAW estimator
+``alpha_m * m^2 / sum(2^-reg)`` without the small/large-range
+corrections — linear counting needs ``ln``, whose last-ulp behavior is
+not guaranteed identical across libms, and the raw form keeps the
+cross-engine contract exact. The harmonic sum is computed in integer
+fixed point: ``sum(1 << (rho_max - reg))`` with empty buckets
+contributing ``1 << rho_max``; the bound ``m * 2^rho_max = 2^53`` holds
+for every b (rho_max = 53 - b), so the int64 sum neither overflows nor
+rounds when cast to double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import words_expr
+
+#: md5 hex prefix length: 13 nibbles = 52 bits, safely inside int64.
+_HEX_LEN = 13
+_HASH_BITS = 4 * _HEX_LEN
+
+
+def _h52(col):
+    """52-bit integer from the md5 hex prefix (same convention as the
+    weighted-sample draws and MinHash order keys)."""
+    return F.conv(F.substring(F.md5(col), 1, _HEX_LEN), 16, 10).cast("long")
+
+
+def hll_alpha_numerator(b: int) -> float:
+    """The double literal ``alpha_m * m^2 * 2^rho_max`` shared verbatim
+    by the Spark plan and the DuckDB oracle (computed once in Python so
+    both engines parse the SAME shortest-repr literal)."""
+    m = 1 << b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    return alpha * m * m * float(1 << (_HASH_BITS - b + 1))
+
+
+def hll_registers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """Per-group HLL registers: ``key_cols... , bucket, reg``.
+
+    bucket = low ``b`` bits of the 52-bit md5 hash; rho = 1 + leading
+    zeros of the remaining ``52-b`` bits (all-zero remainder pins rho at
+    its max ``53-b``); reg = max(rho) per bucket. ONE groupBy with
+    map-side partial max — at most ``|groups| * 2^b`` rows survive the
+    exchange no matter the input size.
+    """
+    if not 1 <= b <= 16:
+        raise ValueError("b must be in [1, 16]")
+    rho_max = _HASH_BITS - b + 1
+    h = _h52(F.col(value_col).cast("string"))
+    w = F.shiftright(h, b)
+    rho = F.when(w == 0, F.lit(rho_max)).otherwise(F.lit(rho_max) - F.length(F.bin(w)))
+    return (
+        df.select(
+            *key_cols,
+            F.pmod(h, F.lit(1 << b)).cast("int").alias("bucket"),
+            rho.cast("int").alias("rho"),
+        )
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+
+
+def hll_merge(a: DataFrame, b_regs: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Union two register frames: elementwise max per (keys, bucket) —
+    the mergeability that lets shards/days/streams combine."""
+    return (
+        a.unionByName(b_regs)
+        .groupBy(*key_cols, "bucket")
+        .agg(F.max("reg").alias("reg"))
+    )
+
+
+def hll_estimate(regs: DataFrame, key_cols: list[str], b: int = 6) -> DataFrame:
+    """Raw HLL estimate per key group: ``key_cols..., n_buckets,
+    hll_estimate`` (estimate floor-rounded 1e-6 for the oracle hash).
+
+    Integer fixed-point harmonic sum (see module docstring), one tiny
+    groupBy over at most ``2^b`` rows per group.
+    """
+    m = 1 << b
+    rho_max = _HASH_BITS - b + 1
+    # F.shiftleft only takes a Python-int shift; the per-row shift needs
+    # the SQL expression form.
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {rho_max} - reg)")
+    empty = F.lit(1 << rho_max).cast("long")
+    agg = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum(term).alias("_present_sum"),
+    )
+    sum_int = F.col("_present_sum") + (F.lit(m) - F.col("n_buckets")) * empty
+    est = F.lit(hll_alpha_numerator(b)) / sum_int.cast("double")
+    from ..functions.numeric import pround
+
+    return agg.select(*key_cols, "n_buckets", pround(est, 6).alias("hll_estimate"))
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    b: int = 6,
+) -> DataFrame:
+    """End-to-end: registers -> estimate, one composed plan."""
+    return hll_estimate(hll_registers(df, key_cols, value_col, b), key_cols, b)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min
+
+
+def _cms_buckets(value, d: int, w: int) -> list:
+    """The d bucket ids of a value: ONE md5 per value, sliced into
+    disjoint ``log2(w)``-bit fields (the single-strong-hash trick — cf.
+    Kirsch & Mitzenmacher 2006 for the Bloom-filter analysis; md5 bits
+    are independent, so disjoint slices act as independent hashes).
+    Requires ``d * log2(w) <= 52`` — validated by the callers."""
+    bits = (w - 1).bit_length()
+    h = _h52(value)
+    return [
+        F.pmod(F.shiftright(h, bits * i), F.lit(w)).cast("int") for i in range(d)
+    ]
+
+
+def _cms_validate(d: int, w: int) -> None:
+    if d < 1 or w < 2:
+        raise ValueError("need d >= 1 and w >= 2")
+    if w & (w - 1):
+        raise ValueError("w must be a power of two (bucket = hash bit-slice)")
+    if d * (w - 1).bit_length() > _HASH_BITS:
+        raise ValueError(f"d * log2(w) must be <= {_HASH_BITS} (one 52-bit hash is sliced)")
+
+
+def cms_sketch(df: DataFrame, value_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """Count-Min sketch of a value column: ``(row, bucket, cnt)`` with at
+    most ``d*w`` rows TOTAL (Cormode & Muthukrishnan 2005). Each value
+    increments one bucket per hash row; the build is one exploded
+    projection + one map-side-combined groupBy whose output size is the
+    sketch, not the data. One md5 per value (see :func:`_cms_buckets`).
+    """
+    _cms_validate(d, w)
+    buckets = _cms_buckets(F.col(value_col), d, w)
+    cells = F.array(
+        *[
+            F.struct(F.lit(i).alias("row"), b.alias("bucket"))
+            for i, b in enumerate(buckets)
+        ]
+    )
+    return (
+        df.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Sketches of disjoint shards ADD cell-wise."""
+    return a.unionByName(b).groupBy("row", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_estimate(values: DataFrame, sketch: DataFrame, value_col: str, d: int = 4, w: int = 256) -> DataFrame:
+    """Point-query a set of candidate values against a sketch:
+    ``(value_col, cms_count)`` where cms_count = min over the d rows —
+    an OVERESTIMATE of the true frequency, never an undercount. The
+    sketch side is <= d*w rows and broadcast; the probe is a map-side
+    join + a d-row min per value.
+    """
+    _cms_validate(d, w)
+    buckets = _cms_buckets(F.col(value_col), d, w)
+    probes = values.select(
+        value_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(i).alias("row"), b.alias("bucket"))
+                    for i, b in enumerate(buckets)
+                ]
+            )
+        ).alias("c"),
+    ).select(value_col, F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+    return (
+        probes.join(F.broadcast(sketch), ["row", "bucket"])
+        .groupBy(value_col)
+        .agg(F.min("cnt").alias("cms_count"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    text_col: str = "text",
+    d: int = 4,
+    w: int = 256,
+    top_n: int = 20,
+) -> DataFrame:
+    """Top-``top_n`` words by CMS-estimated frequency over a text corpus
+    (ties break on the word so the cut is a total order).
+
+    Build: explode words (occurrences, not distinct) -> sketch (d*w
+    cells) -> probe the DISTINCT word set against the broadcast sketch
+    -> TakeOrdered. At scale the only full-data shuffles are the two
+    bounded groupBys (sketch cells; distinct words) — no join ever
+    carries the corpus.
+    """
+    tok = df.select(F.explode(words_expr(F.col(text_col))).alias("word"))
+    sketch = cms_sketch(tok, "word", d, w)
+    words = tok.distinct()
+    est = cms_estimate(words, sketch, "word", d, w)
+    return est.orderBy(F.desc("cms_count"), F.asc("word")).limit(top_n)
