@@ -97,6 +97,7 @@ BENCH_QUERIES_R5 = [
     "dedup_prefix_filter",
     "hll_distinct_users",
     "cms_heavy_hitters",
+    "bloom_membership",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

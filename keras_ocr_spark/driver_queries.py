@@ -4281,6 +4281,95 @@ def q_cms_heavy_hitters(spark, sf_dir):
     return out.select("word", F.col("cms_count").cast("long").alias("cms_count"))
 
 
+@register(
+    "bloom_membership",
+    """
+    WITH m AS (
+      SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+      WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'),
+    i4 AS (SELECT unnest([0, 1, 2, 3]) AS i),
+    mh AS (SELECT ('0x' || substr(md5(v), 1, 13))::BIGINT AS h FROM m),
+    pos AS (SELECT ((h >> (12 * i)) % 4096) AS p FROM mh CROSS JOIN i4),
+    bloom AS (
+      SELECT p >> 5 AS word_idx,
+             bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS bits
+      FROM pos GROUP BY p >> 5),
+    c AS (
+      SELECT c_custkey,
+             ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)), 1, 13))::BIGINT AS h
+      FROM customer),
+    probes AS (SELECT c_custkey, ((h >> (12 * i)) % 4096) AS p FROM c CROSS JOIN i4),
+    hits AS (
+      SELECT c_custkey,
+             CASE WHEN bits IS NOT NULL
+                   AND ((bits >> CAST(p % 32 AS INT)) & 1) = 1
+                  THEN 1 ELSE 0 END AS hit
+      FROM probes LEFT JOIN bloom ON (p >> 5) = word_idx)
+    SELECT h.c_custkey,
+           CAST(CASE WHEN sum(hit) = 4 THEN 1 ELSE 0 END AS INT) AS bloom_maybe,
+           CAST(CASE WHEN h.c_custkey IN (
+                 SELECT o_custkey FROM orders
+                 WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F')
+                THEN 1 ELSE 0 END AS INT) AS is_present
+    FROM hits h GROUP BY h.c_custkey
+    """,
+)
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership, the sketch family's third leg (HLL =
+    distinct, CMS = frequency, Bloom = membership; Bloom 1970): build a
+    4096-bit / k=4 filter over the custkeys of urgent finished orders
+    (one exploded projection + one map-side-combined bit_or groupBy —
+    the filter IS the shuffle output, 128 int64 words however large the
+    fact table), collect it (control-plane, <= 128 rows — the IVF
+    codebook pattern), and probe EVERY customer as a ZERO-SHUFFLE
+    projection (`with_bloom_maybe`: array literal + per-row bit test,
+    single WholeStageCodegen span, no join). At 100 TB this is explicit
+    runtime-filter pushdown: the broadcast filter prunes a fact scan to
+    probable matches before the exact join runs. `is_present` (exact
+    semi-join) rides along as the accuracy exhibit: bloom_maybe is 1 for
+    every present key (NO false negatives, structurally) and the
+    oracle's bit-identical rebuild attests every false positive too
+    (both engines slice the same md5 into the same 4 x 12-bit fields).
+    """
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    members = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+        )
+        .select(F.col("o_custkey").cast("string").alias("v"))
+        .distinct()
+    )
+    bloom = SK.bloom_build(members, "v", k=4, m_bits=4096)
+    words = SK.bloom_collect(bloom, 4096)
+    probed = SK.with_bloom_maybe(
+        cust.select("c_custkey", F.col("c_custkey").cast("string").alias("_v")),
+        words,
+        "_v",
+        k=4,
+        m_bits=4096,
+    ).drop("_v")
+    present = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT") & (F.col("o_orderstatus") == "F")
+        )
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        probed.join(
+            present.withColumn("is_present", F.lit(1)),
+            probed.c_custkey == present.o_custkey,
+            "left",
+        )
+        .select(
+            "c_custkey",
+            F.col("bloom_maybe").cast("int").alias("bloom_maybe"),
+            F.coalesce(F.col("is_present"), F.lit(0)).cast("int").alias("is_present"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

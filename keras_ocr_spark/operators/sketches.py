@@ -230,3 +230,145 @@ def cms_heavy_hitters(
     words = tok.distinct()
     est = cms_estimate(words, sketch, "word", d, w)
     return est.orderBy(F.desc("cms_count"), F.asc("word")).limit(top_n)
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+
+
+def _bloom_validate(k: int, m_bits: int) -> None:
+    if k < 1:
+        raise ValueError("need k >= 1 hash functions")
+    if m_bits < 64 or m_bits & (m_bits - 1):
+        raise ValueError("m_bits must be a power of two >= 64 (position = hash bit-slice)")
+    if k * (m_bits - 1).bit_length() > _HASH_BITS:
+        raise ValueError(f"k * log2(m_bits) must be <= {_HASH_BITS} (one 52-bit hash is sliced)")
+
+
+def _bloom_positions(value, k: int, m_bits: int) -> list:
+    """The k bit positions of a value in [0, m_bits): ONE md5 per value
+    sliced into disjoint ``log2(m_bits)``-bit fields, exactly the CMS
+    convention (see :func:`_cms_buckets`)."""
+    bits = (m_bits - 1).bit_length()
+    h = _h52(value)
+    return [F.pmod(F.shiftright(h, bits * i), F.lit(m_bits)).cast("int") for i in range(k)]
+
+
+def bloom_build(df: DataFrame, value_col: str, k: int = 4, m_bits: int = 4096) -> DataFrame:
+    """Bloom filter of a value column as ``(word_idx, bits)`` rows —
+    at most ``m_bits / 32`` rows TOTAL regardless of input size (Bloom
+    1970). Bit ``p`` lives in word ``p >> 5`` at offset ``p & 31``:
+    32 bits per int64 word keeps every stored value positive and every
+    shift strictly below 2^32, so Spark and DuckDB agree to the bit
+    with no sign-extension edge anywhere.
+
+    The membership summary that completes the sketch family (HLL =
+    distinct, CMS = frequency, Bloom = membership): at 100 TB the
+    128-word filter BROADCASTS in place of a multi-gigabyte semi-join
+    build side, pruning a fact scan down to probable matches before the
+    exact join runs. Build is one exploded projection + one map-side-
+    combined bit_or groupBy whose output is the filter, not the data;
+    shards/days merge by elementwise OR (:func:`bloom_merge`).
+
+    NO false negatives ever (a member's k bits are all set by
+    construction); false-positive rate ~ (1 - e^(-k*n/m))^k.
+    """
+    _bloom_validate(k, m_bits)
+    positions = _bloom_positions(F.col(value_col), k, m_bits)
+    pos = df.select(F.explode(F.array(*positions)).alias("p"))
+    return (
+        pos.select(
+            F.shiftright(F.col("p"), 5).alias("word_idx"),
+            F.pmod(F.col("p"), F.lit(32)).alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.expr("bit_or(shiftleft(CAST(1 AS BIGINT), bit))").alias("bits"))
+    )
+
+
+def bloom_merge(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Filters over disjoint (or overlapping — OR is idempotent) shards
+    merge by elementwise bitwise OR per word."""
+    return a.unionByName(b).groupBy("word_idx").agg(F.expr("bit_or(bits)").alias("bits"))
+
+
+def bloom_probe(
+    values: DataFrame,
+    bloom: DataFrame,
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 4096,
+) -> DataFrame:
+    """Probe candidate values against a filter: adds ``bloom_maybe``
+    (1 = possibly present, 0 = DEFINITELY absent). The filter side is
+    <= m_bits/32 rows and broadcast; the probe is a map-side join + a
+    k-row conjunction per value — no shuffle ever carries the corpus.
+    A word with no set bits has no filter row at all, so the left join's
+    NULL short-circuits that probe bit to unset."""
+    _bloom_validate(k, m_bits)
+    positions = _bloom_positions(F.col(value_col), k, m_bits)
+    probes = values.select(
+        "*",
+        F.explode(F.array(*positions)).alias("p"),
+    ).select(
+        "*",
+        F.shiftright(F.col("p"), 5).alias("word_idx"),
+        F.pmod(F.col("p"), F.lit(32)).alias("bit"),
+    ).drop("p")
+    hit = F.when(
+        F.col("bits").isNotNull() & (F.expr("(bits >> bit) & 1") == 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    group_cols = [c for c in values.columns]
+    return (
+        probes.join(F.broadcast(bloom), "word_idx", "left")
+        .select(*group_cols, hit.alias("_hit"))
+        .groupBy(*group_cols)
+        .agg((F.sum("_hit") == F.lit(k)).cast("int").alias("bloom_maybe"))
+    )
+
+
+def bloom_collect(bloom: DataFrame, m_bits: int = 4096) -> list:
+    """Densify a ``(word_idx, bits)`` filter frame into a Python list of
+    ``m_bits/32`` int64 words (missing words = 0). Control-plane only:
+    the frame is <= m_bits/32 rows by construction — same pattern as the
+    IVF centroid codebook collect."""
+    words = [0] * (m_bits >> 5)
+    for row in bloom.collect():
+        words[row["word_idx"]] = row["bits"]
+    return words
+
+
+def with_bloom_maybe(
+    df: DataFrame,
+    words: list,
+    value_col: str,
+    k: int = 4,
+    m_bits: int = 4096,
+    out_col: str = "bloom_maybe",
+) -> DataFrame:
+    """ZERO-SHUFFLE membership test: the collected filter becomes an
+    array literal and the probe is a pure projection — the shape that
+    prunes a 100 TB fact scan before its join (Spark's own runtime
+    bloom-join pushdown, made explicit). Adds ``out_col`` (int 1/0;
+    0 = DEFINITELY absent, 1 = possibly present).
+
+    Intermediate columns are named because the per-row shift
+    ``(word >> bit) & 1`` only exists in the SQL expression form (the
+    Python ``F.shiftright`` wrapper takes a literal shift count)."""
+    _bloom_validate(k, m_bits)
+    if len(words) != (m_bits >> 5):
+        raise ValueError(f"words must have exactly {m_bits >> 5} entries (use bloom_collect)")
+    arr = F.array(*[F.lit(int(w)).cast("long") for w in words])
+    out = df
+    tmp = []
+    for i, p in enumerate(_bloom_positions(F.col(value_col), k, m_bits)):
+        w, b, h = f"_blw{i}", f"_blb{i}", f"_blh{i}"
+        out = (
+            out.withColumn(w, F.element_at(arr, (F.shiftright(p, 5) + 1).cast("int")))
+            .withColumn(b, F.pmod(p, F.lit(32)))
+            .withColumn(h, F.expr(f"(({w} >> {b}) & 1)"))
+        )
+        tmp += [w, b, h]
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & (F.col(f"_blh{i}") == 1)
+    return out.withColumn(out_col, cond.cast("int")).drop(*tmp)

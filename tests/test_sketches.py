@@ -97,3 +97,90 @@ class TestCMS:
         tok = corpus.select(F.explode(F.split("text", " ")).alias("word"))
         with pytest.raises(ValueError):
             SK.cms_sketch(tok, "word", d=0)
+
+
+@pytest.fixture(scope="module")
+def member_values(spark):
+    return spark.range(0, 400).select(
+        F.concat(F.lit("k"), F.col("id").cast("string")).alias("v")
+    )
+
+
+class TestBloom:
+    def test_no_false_negatives_ever(self, spark, member_values):
+        bloom = SK.bloom_build(member_values, "v", k=4, m_bits=4096)
+        out = SK.bloom_probe(member_values, bloom, "v", k=4, m_bits=4096)
+        assert out.filter(F.col("bloom_maybe") == 0).count() == 0
+
+    def test_definitely_absent_is_honest_and_fp_rate_bounded(self, spark, member_values):
+        bloom = SK.bloom_build(member_values, "v", k=4, m_bits=4096)
+        absent = spark.range(400, 1400).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("v")
+        )
+        fp = SK.bloom_probe(absent, bloom, "v", k=4, m_bits=4096).filter(
+            F.col("bloom_maybe") == 1
+        ).count()
+        # n=400, m=4096, k=4 -> p_set ~ 1-e^-0.39 ~ 0.32, fp ~ 0.011;
+        # generous bound: < 5% of 1000 absent probes.
+        assert 0 <= fp < 50
+
+    def test_filter_size_bounded_and_words_dense(self, spark, member_values):
+        bloom = SK.bloom_build(member_values, "v", k=4, m_bits=4096)
+        assert bloom.count() <= 128
+        words = SK.bloom_collect(bloom, 4096)
+        assert len(words) == 128
+        assert all(0 <= w < (1 << 32) for w in words)  # 32 bits/word, no sign edge
+
+    def test_expr_probe_equals_join_probe(self, spark, member_values):
+        bloom = SK.bloom_build(member_values, "v", k=4, m_bits=4096)
+        words = SK.bloom_collect(bloom, 4096)
+        probe = spark.range(0, 900).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("v")
+        )
+        a = SK.bloom_probe(probe, bloom, "v", k=4, m_bits=4096)
+        b = SK.with_bloom_maybe(probe, words, "v", k=4, m_bits=4096).withColumnRenamed(
+            "bloom_maybe", "m2"
+        )
+        assert a.join(b, "v").filter(F.col("bloom_maybe") != F.col("m2")).count() == 0
+
+    def test_merge_equals_filter_of_union(self, spark, member_values):
+        a = member_values.filter(F.expr("CAST(substring(v, 2) AS INT) < 250"))
+        b = member_values.filter(F.expr("CAST(substring(v, 2) AS INT) >= 150"))  # overlap
+        merged = SK.bloom_merge(
+            SK.bloom_build(a, "v", k=4, m_bits=4096),
+            SK.bloom_build(b, "v", k=4, m_bits=4096),
+        )
+        union = SK.bloom_build(member_values, "v", k=4, m_bits=4096)
+        assert {(r.word_idx, r.bits) for r in merged.collect()} == {
+            (r.word_idx, r.bits) for r in union.collect()
+        }
+
+    def test_matches_python_reference_bit_for_bit(self, spark, member_values):
+        import hashlib
+
+        words = SK.bloom_collect(SK.bloom_build(member_values, "v", k=4, m_bits=4096), 4096)
+        ref = [0] * 128
+        for i in range(400):
+            h = int(hashlib.md5(f"k{i}".encode()).hexdigest()[:13], 16)
+            for j in range(4):
+                p = (h >> (12 * j)) % 4096
+                ref[p >> 5] |= 1 << (p & 31)
+        assert words == ref
+
+    def test_expr_probe_plan_is_shuffle_free(self, spark, member_values):
+        words = SK.bloom_collect(SK.bloom_build(member_values, "v", k=4, m_bits=4096), 4096)
+        probe = spark.range(0, 100).select(
+            F.concat(F.lit("k"), F.col("id").cast("string")).alias("v")
+        )
+        plan = SK.with_bloom_maybe(probe, words, "v", k=4, m_bits=4096)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Join" not in plan
+
+    def test_validation(self, spark, member_values):
+        with pytest.raises(ValueError):
+            SK.bloom_build(member_values, "v", k=0)
+        with pytest.raises(ValueError):
+            SK.bloom_build(member_values, "v", k=4, m_bits=1000)  # not a power of two
+        with pytest.raises(ValueError):
+            SK.bloom_build(member_values, "v", k=5, m_bits=4096)  # 5*12 > 52
+        with pytest.raises(ValueError):
+            SK.with_bloom_maybe(member_values, [0] * 10, "v")  # wrong word count
