@@ -98,6 +98,7 @@ BENCH_QUERIES_R5 = [
     "hll_distinct_users",
     "cms_heavy_hitters",
     "bloom_membership",
+    "incremental_agg_merge",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

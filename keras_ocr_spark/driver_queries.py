@@ -4370,6 +4370,52 @@ def q_bloom_membership(spark, sf_dir):
     )
 
 
+@register(
+    "incremental_agg_merge",
+    """
+    SELECT o_orderpriority,
+           CAST(year(o_orderdate) AS INT) AS o_year,
+           CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(o_totalprice) AS DOUBLE) AS min_v,
+           CAST(max(o_totalprice) AS DOUBLE) AS max_v,
+           CAST(floor(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) / 100.0
+                      / count(*) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_v
+    FROM orders
+    GROUP BY o_orderpriority, year(o_orderdate)
+    """,
+)
+def q_incremental_agg_merge(spark, sf_dir):
+    """Incremental materialized-view maintenance: per (priority, year)
+    order stats kept as a STATE table and refreshed by FOLDING a delta
+    instead of rescanning history. The Spark side deliberately computes
+    state(base < 1999) and state(delta >= 1999) separately and merges
+    them (`operators/incremental.py`); the oracle is the flat GROUP BY
+    over everything — their hash equality is the maintenance theorem
+    ``merge(state(A), state(B)) == state(A U B)`` attested on real
+    splits (1995-1998 keys live only in base, 1999-2001 only in delta,
+    so pass-through, fold, and new-key paths all execute). Sums are
+    int64 cents quantized BEFORE aggregation: integer addition is
+    associative, so the fold is bit-identical to the recompute under
+    ANY partitioning — the discipline that makes cross-job state exact
+    at 100 TB, where the nightly delta is the only thing scanned and
+    the merge input is two |keys|-sized frames."""
+    from .operators import incremental as INC
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.year("o_orderdate").cast("int").alias("o_year"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+    keys = ["o_orderpriority", "o_year"]
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    base = INC.agg_state(orders.filter(F.col("o_orderdate") < cutoff), keys, "o_totalprice")
+    delta = INC.agg_state(orders.filter(F.col("o_orderdate") >= cutoff), keys, "o_totalprice")
+    return INC.finalize_state(INC.merge_agg_state(base, delta, keys), keys)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
