@@ -99,6 +99,8 @@ BENCH_QUERIES_R5 = [
     "cms_heavy_hitters",
     "bloom_membership",
     "incremental_agg_merge",
+    "hdr_quantile_sketch",
+    "quality_classifier",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

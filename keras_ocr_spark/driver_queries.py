@@ -4416,6 +4416,123 @@ def q_incremental_agg_merge(spark, sf_dir):
     return INC.finalize_state(INC.merge_agg_state(base, delta, keys), keys)
 
 
+@register(
+    "hdr_quantile_sketch",
+    """
+    WITH c AS (
+      SELECT o_orderpriority AS pri,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    b AS (
+      SELECT pri,
+             CASE WHEN cents < 32 THEN cents
+                  ELSE (length(bin(cents)) - 5) * 16
+                       + (cents >> (length(bin(cents)) - 5)) END AS bucket
+      FROM c
+    ),
+    h AS (SELECT pri, bucket, count(*) AS cnt FROM b GROUP BY pri, bucket),
+    w AS (
+      SELECT pri, bucket, cnt,
+             sum(cnt) OVER (PARTITION BY pri ORDER BY bucket) AS cum,
+             sum(cnt) OVER (PARTITION BY pri) AS n
+      FROM h
+    ),
+    l AS (
+      SELECT *,
+             CASE WHEN bucket < 32 THEN bucket
+                  ELSE ((bucket % 16) + 16) << (bucket // 16 - 1) END AS lb
+      FROM w
+    )
+    SELECT pri AS o_orderpriority,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(min(CASE WHEN cum >= (n * 500 + 999) // 1000 THEN lb END) AS BIGINT)
+             AS p500_cents_lb,
+           CAST(min(CASE WHEN cum >= (n * 900 + 999) // 1000 THEN lb END) AS BIGINT)
+             AS p900_cents_lb,
+           CAST(min(CASE WHEN cum >= (n * 990 + 999) // 1000 THEN lb END) AS BIGINT)
+             AS p990_cents_lb
+    FROM l
+    GROUP BY pri
+    """,
+)
+def q_hdr_quantile_sketch(spark, sf_dir):
+    """Mergeable quantile sketch (HDR/DDSketch log-bucket histogram) —
+    the fourth member of the sketch family (HLL = distinct, CMS =
+    frequency, Bloom = membership, HDR = quantiles). Per-priority
+    p50/p90/p99 of o_totalprice read from bounded bucket state instead
+    of a rank-exact data shuffle: the Spark side deliberately builds
+    TWO shard histograms (orders < 1999 / >= 1999), merges them by
+    per-bucket addition, and reads quantiles off the merged state; the
+    DuckDB oracle recomputes flat over everything — hash equality IS
+    merge(state(A), state(B)) == state(A ∪ B) on top of the bucket and
+    readout formulas reproducing bit-for-bit (pure integer ops:
+    fixed-point cents, length(bin(x)) octaves, shifts, integer-ceiling
+    ranks). At 100 TB the histogram is <= 16*63 rows per group however
+    large the scan; days/shards/micro-batches fold exactly like
+    ``operators/incremental.py`` state."""
+    from .operators import sketches as SK
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice", "o_orderdate"
+    )
+    cutoff = F.lit("1999-01-01").cast("timestamp")
+    keys = ["o_orderpriority"]
+    base = SK.hdr_histogram(orders.filter(F.col("o_orderdate") < cutoff), keys, "o_totalprice")
+    delta = SK.hdr_histogram(orders.filter(F.col("o_orderdate") >= cutoff), keys, "o_totalprice")
+    return SK.hdr_quantiles(SK.hdr_merge(base, delta, keys), keys, (500, 900, 990))
+
+
+@register(
+    "quality_classifier",
+    """
+    WITH t AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id, string_split(text, ' ') AS toks
+      FROM documents),
+    g AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2
+                  THEN list_transform(range(1, len(toks)),
+                                      i -> toks[i] || '_' || toks[i + 1])
+                  ELSE CAST([] AS VARCHAR[]) END AS bis
+      FROM t),
+    w AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             COALESCE(list_sum(list_transform(
+               list_concat(toks, bis),
+               x -> (('0x' || substr(md5('w:' ||
+                        CAST((('0x' || substr(md5(x), 1, 13))::BIGINT % 1024)
+                             AS VARCHAR)), 1, 13))::BIGINT % 2001) - 1000)),
+               0) AS logit_milli
+      FROM g)
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(logit_milli AS BIGINT) AS logit_milli,
+           CAST(CASE WHEN logit_milli > 0 THEN 1 ELSE 0 END AS INT) AS quality_label
+    FROM w
+    """,
+)
+def q_quality_classifier(spark, sf_dir):
+    """fastText-style hashed linear quality classifier inference
+    (Joulin et al. 2016; hashing trick, Weinberger et al. 2009) — the
+    CCNet/LLaMA-pipeline quality-filter shape as a ZERO-SHUFFLE
+    projection: hashed unigram + word-bigram feature slots, integer
+    milli-unit weight sum, label = logit > 0. No UDF, no exchange —
+    scan → whole-stage-codegen project, so at 100 TB the filter rides
+    the scan. Weights derive from slot ids by the md5-prefix integer
+    convention (a learned vector would broadcast as an array literal —
+    the ``bloom_collect``/IVF-codebook pattern); the DuckDB oracle
+    reproduces every feature hash, weight, and logit bit-for-bit."""
+    from .operators import classifier as CLF
+
+    return CLF.score_documents(
+        _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("doc_id"), "text"
+        )
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

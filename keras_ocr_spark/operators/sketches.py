@@ -1,4 +1,5 @@
-"""Mergeable sketches: HyperLogLog distinct-count and Count-Min frequency.
+"""Mergeable sketches: HyperLogLog (distinct), Count-Min (frequency),
+Bloom (membership), and HDR log-bucket histogram (quantiles).
 
 The fixed-size-summary answer to 100 TB aggregation: both sketches are
 bounded-size state (HLL: 2^b registers per group; CMS: d*w cells TOTAL
@@ -372,3 +373,143 @@ def with_bloom_maybe(
     for i in range(k):
         cond = cond & (F.col(f"_blh{i}") == 1)
     return out.withColumn(out_col, cond.cast("int")).drop(*tmp)
+
+
+# ==========================================================================
+# HDR-style quantile sketch (integer log-buckets, mergeable)
+# ==========================================================================
+
+#: Sub-bucket bits per octave: 16 sub-buckets -> relative error <= 1/16.
+_HDR_SUB_BITS = 4
+
+
+def _hdr_validate(sub_bits: int) -> None:
+    if not 1 <= sub_bits <= 8:
+        raise ValueError("sub_bits must be in [1, 8]")
+
+
+def _hdr_bucket(sub_bits: int):
+    """Bucket id of the non-negative integer column ``_cents`` — pure
+    integer ops only (``length(bin(x))`` = floor(log2)+1, ``>>``), both
+    proven bit-identical in Spark and DuckDB. Values below
+    ``2^(sub_bits+1)`` map to themselves (EXACT); above, the id is
+    ``shift * 2^sub_bits + (x >> shift)`` with ``shift = floor(log2(x))
+    - sub_bits`` — monotone, contiguous, <= 2^sub_bits ids per octave."""
+    s = sub_bits
+    small = 1 << (s + 1)
+    return F.expr(
+        f"CASE WHEN _cents < {small} THEN _cents "
+        f"ELSE (length(bin(_cents)) - {s + 1}) * {1 << s} "
+        f"     + (_cents >> (length(bin(_cents)) - {s + 1})) END"
+    ).cast("long")
+
+
+def _hdr_lb(sub_bits: int):
+    """Exact integer lower bound of a bucket id (inverts
+    :func:`_hdr_bucket`): small ids ARE their value; otherwise
+    ``((id % 2^s) + 2^s) << (id div 2^s - 1)``."""
+    s = sub_bits
+    small = 1 << (s + 1)
+    m = 1 << s
+    return F.expr(
+        f"CASE WHEN bucket < {small} THEN bucket "
+        f"ELSE ((bucket % {m}) + {m}) << (bucket div {m} - 1) END"
+    ).cast("long")
+
+
+def hdr_histogram(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    sub_bits: int = _HDR_SUB_BITS,
+    scale: int = 100,
+) -> DataFrame:
+    """Per-group HDR/DDSketch-style log-bucket histogram:
+    ``key_cols..., bucket, cnt`` — the quantile summary that completes
+    the sketch family (HLL = distinct, CMS = frequency, Bloom =
+    membership, HDR = quantiles; Dynatrace HdrHistogram / Masson et al.
+    2019 DDSketch, deterministic variant).
+
+    Values are quantized to NON-NEGATIVE int64 fixed point
+    (``floor(v * scale + 0.5)``; negative inputs are outside the
+    contract) and bucketed by octave + ``2^sub_bits`` sub-buckets, so
+    relative error is <= ``2^-sub_bits`` while the state is bounded:
+    at most ``2^sub_bits * 63`` rows per group no matter the input
+    size, built by ONE map-side-combined groupBy. Unlike rank-exact
+    :mod:`operators.ranking` percentiles (a shuffle of the data), this
+    is O(buckets) state that shards/days/micro-batches merge exactly
+    (:func:`hdr_merge`) — the same delta-fold discipline as
+    ``operators/incremental.py``, whose state row it slots into.
+
+    Every op is integer (quantize, bin-length, shift), so Spark and
+    DuckDB agree to the bit — the oracle rebuilds every bucket and the
+    quantile readout exactly, not to a tolerance. Reference analog: the
+    recognizer's corpus length/size audits
+    (/root/reference/keras_ocr/recognition.py:61-74) in sublinear form.
+    """
+    _hdr_validate(sub_bits)
+    cents = F.floor(F.col(value_col) * F.lit(int(scale)) + F.lit(0.5)).cast("long")
+    return (
+        df.select(*key_cols, cents.alias("_cents"))
+        .select(*key_cols, _hdr_bucket(sub_bits).alias("bucket"))
+        .groupBy(*key_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def hdr_merge(a: DataFrame, b: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Histograms over shards merge by per-bucket count addition —
+    int64 adds, so merge(state(A), state(B)) == state(A UNION ALL B)
+    bit-for-bit under any partitioning."""
+    return (
+        a.unionByName(b)
+        .groupBy(*key_cols, "bucket")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+
+
+def hdr_quantiles(
+    hist: DataFrame,
+    key_cols: list[str],
+    permilles: tuple = (500, 900, 990),
+    sub_bits: int = _HDR_SUB_BITS,
+) -> DataFrame:
+    """Quantile readout from a histogram: for each permille ``pm`` the
+    EXACT integer lower bound of the bucket holding rank
+    ``ceil(n * pm / 1000)`` (integer ceiling ``(n*pm + 999) div 1000``
+    — no float rank anywhere, so engines cannot disagree at rank
+    boundaries). Emits ``n_rows``, ``n_buckets``, and one
+    ``p{pm}_cents_lb`` per permille. The windows partition by group
+    over BUCKET rows (bounded state), never over the data."""
+    _hdr_validate(sub_bits)
+    for pm in permilles:
+        if not 1 <= int(pm) <= 1000:
+            raise ValueError("permilles must be integers in [1, 1000]")
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(*key_cols)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    g = hist.select(
+        *key_cols,
+        "bucket",
+        "cnt",
+        F.sum("cnt").over(w_cum).alias("_cum"),
+        F.sum("cnt").over(w_all).alias("_n"),
+        _hdr_lb(sub_bits).alias("_lb"),
+    )
+    aggs = [
+        F.max("_n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_buckets"),
+    ]
+    for pm in permilles:
+        rank = F.expr(f"(_n * {int(pm)} + 999) div 1000")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= rank, F.col("_lb")))
+            .cast("long")
+            .alias(f"p{int(pm)}_cents_lb")
+        )
+    return g.groupBy(*key_cols).agg(*aggs)

@@ -184,3 +184,92 @@ class TestBloom:
             SK.bloom_build(member_values, "v", k=5, m_bits=4096)  # 5*12 > 52
         with pytest.raises(ValueError):
             SK.with_bloom_maybe(member_values, [0] * 10, "v")  # wrong word count
+
+
+@pytest.fixture(scope="module")
+def amounts(spark):
+    # Deterministic positive values spanning several octaves (0.07 ..
+    # ~9000) plus a spike of identical small values; two groups.
+    rows = []
+    for i in range(3000):
+        v = ((i * 37) % 900000) / 100.0 + 0.07
+        rows.append(("a" if i % 3 else "b", v))
+    rows += [("a", 0.25)] * 50  # cents=25 < 32: exact small-bucket path
+    return spark.createDataFrame(rows, "grp string, v double")
+
+
+class TestHDR:
+    def _exact(self, df, grp, pm):
+        vals = sorted(
+            int(round(r.v * 100)) for r in df.filter(F.col("grp") == grp).collect()
+        )
+        rank = (len(vals) * pm + 999) // 1000
+        return vals[rank - 1]
+
+    def test_quantile_relative_error_bounded(self, spark, amounts):
+        hist = SK.hdr_histogram(amounts, ["grp"], "v")
+        out = {r.grp: r for r in SK.hdr_quantiles(hist, ["grp"]).collect()}
+        for grp in ("a", "b"):
+            for pm, col in ((500, "p500_cents_lb"), (900, "p900_cents_lb"), (990, "p990_cents_lb")):
+                exact = self._exact(amounts, grp, pm)
+                lb = out[grp][col]
+                # lb <= exact < lb * (1 + 2^-4): the bucket's own width.
+                assert lb <= exact <= lb + (lb >> 4) + 1
+
+    def test_small_values_are_exact(self, spark, amounts):
+        small = amounts.filter(F.col("v") < 0.31)  # cents < 31 < 32
+        hist = SK.hdr_histogram(small, ["grp"], "v")
+        out = SK.hdr_quantiles(hist, ["grp"], (500,)).collect()[0]
+        assert out.p500_cents_lb == self._exact(small, out.grp, 500)
+
+    def test_merge_equals_flat_build(self, spark, amounts):
+        flat = SK.hdr_histogram(amounts, ["grp"], "v")
+        a = SK.hdr_histogram(amounts.filter(F.col("v") < 1000), ["grp"], "v")
+        b = SK.hdr_histogram(amounts.filter(F.col("v") >= 1000), ["grp"], "v")
+        merged = SK.hdr_merge(a, b, ["grp"])
+        key = lambda r: (r.grp, r.bucket)
+        assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, flat.collect()))
+
+    def test_repartition_invariance(self, spark, amounts):
+        h1 = SK.hdr_quantiles(SK.hdr_histogram(amounts, ["grp"], "v"), ["grp"]).collect()
+        h2 = SK.hdr_quantiles(
+            SK.hdr_histogram(amounts.repartition(13), ["grp"], "v"), ["grp"]
+        ).collect()
+        assert sorted(map(tuple, h1)) == sorted(map(tuple, h2))
+
+    def test_state_bounded_per_group(self, spark, amounts):
+        # 63 octaves * 16 sub-buckets + 32 small ids is the hard ceiling;
+        # this corpus spans ~20 octaves.
+        hist = SK.hdr_histogram(amounts, ["grp"], "v")
+        per_group = hist.groupBy("grp").count().collect()
+        assert all(r["count"] <= 16 * 63 + 32 for r in per_group)
+
+    def test_bucket_lb_inverts_bucket(self, spark):
+        # Round-trip every representable magnitude: lb(bucket(x)) <= x
+        # and bucket(lb) == bucket (lb is a member of its own bucket).
+        vals = [0, 1, 5, 31, 32, 33, 100, 999, 12345, 10**6, 10**9, 10**12]
+        df = spark.createDataFrame([(v / 100.0,) for v in vals], "v double").withColumn(
+            "grp", F.lit("g")
+        )
+        hist = SK.hdr_histogram(df, ["grp"], "v")
+        got = {
+            r.bucket
+            for r in hist.select("bucket").collect()
+        }
+        lb_rows = (
+            hist.select(F.col("bucket").alias("bucket"))
+            .select("bucket", SK._hdr_lb(4).alias("lb"))
+            .collect()
+        )
+        for r in lb_rows:
+            redf = spark.createDataFrame([(r.lb / 100.0,)], "v double").withColumn(
+                "grp", F.lit("g")
+            )
+            rb = SK.hdr_histogram(redf, ["grp"], "v").collect()[0].bucket
+            assert rb == r.bucket
+
+    def test_validation(self, spark, amounts):
+        with pytest.raises(ValueError):
+            SK.hdr_histogram(amounts, ["grp"], "v", sub_bits=0)
+        with pytest.raises(ValueError):
+            SK.hdr_quantiles(SK.hdr_histogram(amounts, ["grp"], "v"), ["grp"], (0,))
