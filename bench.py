@@ -101,6 +101,7 @@ BENCH_QUERIES_R5 = [
     "incremental_agg_merge",
     "hdr_quantile_sketch",
     "quality_classifier",
+    "bucketed_join_stats",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4533,6 +4533,59 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+@register(
+    "bucketed_join_stats",
+    """
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_bucketed_join_stats(spark, sf_dir):
+    """Co-located join via Hive-style bucketed tables
+    (``sources/bucketed.py``): both sides are written ONCE with
+    ``bucketBy(8, custkey)`` — paying the hash shuffle at ingest — then
+    the join plan needs NO Exchange on either input (SortMergeJoin
+    reads bucket i vs bucket i; zero-exchange plan machine-asserted in
+    tests/test_bucketed.py with broadcast disabled). At 100 TB this is
+    the recurring-join playbook: the fact table's daily joins against
+    co-bucketed dimensions never re-shuffle the fact side. The oracle
+    computes the same join flat — layout must never change values."""
+    import hashlib as _hl
+
+    from .sources import bucketed as B
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    orders = B.ensure_bucketed(
+        spark,
+        lambda: _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice"),
+        f"bkt_orders_{tag}",
+        f"/tmp/keras_ocr_spark_bucketed_{tag}/orders",
+        "o_custkey",
+        8,
+    )
+    cust = B.ensure_bucketed(
+        spark,
+        lambda: _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment"),
+        f"bkt_customer_{tag}",
+        f"/tmp/keras_ocr_spark_bucketed_{tag}/customer",
+        "c_custkey",
+        8,
+    )
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).cast("long").alias("sum_cents"),
+        )
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
