@@ -102,6 +102,7 @@ BENCH_QUERIES_R5 = [
     "hdr_quantile_sketch",
     "quality_classifier",
     "bucketed_join_stats",
+    "scd2_history",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

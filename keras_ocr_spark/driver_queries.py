@@ -4586,6 +4586,48 @@ def q_bucketed_join_stats(spark, sf_dir):
     )
 
 
+@register(
+    "scd2_history",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS prev,
+             lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev_ts
+      FROM events),
+    c AS (
+      SELECT user_id, ts, event_type FROM s
+      WHERE prev_ts IS NULL OR prev IS DISTINCT FROM event_type),
+    v AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS effective_from_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+               AS effective_to_us
+      FROM c)
+    SELECT CAST(user_id AS BIGINT) AS user_id,
+           event_type,
+           CAST(effective_from_us AS BIGINT) AS effective_from_us,
+           CAST(effective_to_us AS BIGINT) AS effective_to_us,
+           CAST(CASE WHEN effective_to_us IS NULL THEN 1 ELSE 0 END AS INT)
+             AS is_current
+    FROM v
+    """,
+)
+def q_scd2_history(spark, sf_dir):
+    """SCD Type-2 dimension history built from the events change log
+    (``operators/merge.py:scd2_build`` — the history-preserving
+    counterpart of the SCD1 ``doc_merge_upsert``): per user, each run
+    of consecutive identical event_types collapses into ONE effective-
+    dated version row (no-op changes must not open versions — the
+    null-safe ``lag(attrs) <=> attrs`` collapse), with
+    effective_from/to as unix-micros and NULL-to = current. Both
+    window passes share one hash exchange + one sort (partitioned
+    windows, no global order — the 100 TB shape). The oracle rebuilds
+    the same history with lag/lead + IS DISTINCT FROM."""
+    from .operators.merge import scd2_build
+
+    return scd2_build(_t(spark, sf_dir, "events"), ["user_id"], "ts", ["event_type"])
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -807,3 +807,65 @@ class TestWeightedSample:
         plan = C.weighted_sample(df, "w", k=5)._jdf.queryExecution().executedPlan().toString()
         assert "TakeOrderedAndProject" in plan
         assert "Exchange" not in plan
+
+
+class TestSCD2:
+    """scd2_build value contract is driver-attested (`scd2_history`);
+    these pin the collapse/null/plan semantics the oracle can't."""
+
+    def _log(self, spark, rows):
+        return spark.createDataFrame(rows, "k long, ts timestamp, attr string, attr2 string")
+
+    def test_noop_changes_collapse_and_versions_chain(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, s)
+        rows = [
+            (1, t(1), "a", "x"),
+            (1, t(2), "a", "x"),  # no-op: must NOT open a version
+            (1, t(3), "b", "x"),  # attr change
+            (1, t(4), "b", "y"),  # attr2 change
+            (2, t(1), "z", None),
+        ]
+        from keras_ocr_spark.operators.merge import scd2_build
+
+        out = sorted(
+            scd2_build(self._log(spark, rows), ["k"], "ts", ["attr", "attr2"]).collect(),
+            key=lambda r: (r.k, r.effective_from_us),
+        )
+        assert [(r.k, r.attr, r.attr2, r.is_current) for r in out] == [
+            (1, "a", "x", 0),
+            (1, "b", "x", 0),
+            (1, "b", "y", 1),
+            (2, "z", None, 1),
+        ]
+        # versions chain: each effective_to == next effective_from
+        assert out[0].effective_to_us == out[1].effective_from_us
+        assert out[1].effective_to_us == out[2].effective_from_us
+        assert out[2].effective_to_us is None
+
+    def test_null_attr_noop_collapses_null_safely(self, spark):
+        import datetime as dt
+
+        t = lambda s: dt.datetime(2024, 1, s)
+        rows = [(1, t(1), None, None), (1, t(2), None, None), (1, t(3), "a", None)]
+        from keras_ocr_spark.operators.merge import scd2_build
+
+        out = scd2_build(self._log(spark, rows), ["k"], "ts", ["attr", "attr2"]).collect()
+        # NULL == NULL for the collapse (eqNullSafe): 2 versions, not 3.
+        assert len(out) == 2
+
+    def test_single_exchange_single_sort(self, spark):
+        import datetime as dt
+
+        rows = [(1, dt.datetime(2024, 1, 1), "a", "x")]
+        from keras_ocr_spark.operators.merge import scd2_build
+
+        plan = (
+            scd2_build(self._log(spark, rows), ["k"], "ts", ["attr"])
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Exchange") == 1  # both window passes share it
+        assert sum(1 for l in plan.splitlines() if l.strip().startswith("+- Sort") or l.strip().startswith(":- Sort") or "Sort [" in l) <= 2
