@@ -103,6 +103,7 @@ BENCH_QUERIES_R5 = [
     "quality_classifier",
     "bucketed_join_stats",
     "scd2_history",
+    "zorder_cells",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4628,6 +4628,51 @@ def q_scd2_history(spark, sf_dir):
     return scd2_build(_t(spark, sf_dir, "events"), ["user_id"], "ts", ["event_type"])
 
 
+def _zspread_sql(e: str) -> str:
+    """DuckDB twin of ``sources.layout.zspread``: the shift-or-mask
+    ladder as nested SQL (textually duplicated per round — fine for an
+    oracle; Spark's side uses Column ops without duplication)."""
+    s = f"({e} & 65535)"
+    for sh, mask in ((8, 0x00FF00FF), (4, 0x0F0F0F0F), (2, 0x33333333), (1, 0x55555555)):
+        s = f"((({s}) | (({s}) << {sh})) & {mask})"
+    return s
+
+
+@register(
+    "zorder_cells",
+    f"""
+    WITH z AS (
+      SELECT (l_orderkey & 65535) AS x, (l_partkey & 65535) AS y,
+             ({_zspread_sql('l_orderkey')} | ({_zspread_sql('l_partkey')} << 1))
+               AS zval
+      FROM lineitem)
+    SELECT CAST(zval >> 24 AS BIGINT) AS cell,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(x) AS BIGINT) AS min_x,
+           CAST(max(x) AS BIGINT) AS max_x,
+           CAST(min(y) AS BIGINT) AS min_y,
+           CAST(max(y) AS BIGINT) AS max_y
+    FROM z
+    GROUP BY zval >> 24
+    """,
+)
+def q_zorder_cells(spark, sf_dir):
+    """Z-order (Morton) clustering made measurable
+    (``sources/layout.py:zorder_key`` — the multi-dim upgrade of the
+    writer's 1-D range clustering; Delta/Iceberg OPTIMIZE ZORDER
+    semantics): per quadtree cell (top 8 z-bits = 4 bits of each
+    dimension) the occupancy and bounding box of (l_partkey,
+    l_suppkey). The box IS the pruning guarantee — every cell confines
+    BOTH dimensions to a 2^12 range, so a z-ordered file layout keeps
+    parquet min/max footers tight for predicates on EITHER column.
+    The bit-spread ladder is pure int64 shift/or/mask, reproduced
+    bit-for-bit by the DuckDB oracle; one map-side-combined groupBy
+    over <= 256 cells — layout math, not a data shuffle."""
+    from .sources import layout as L
+
+    return L.zcell_stats(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", 4)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
