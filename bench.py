@@ -104,6 +104,7 @@ BENCH_QUERIES_R5 = [
     "bucketed_join_stats",
     "scd2_history",
     "zorder_cells",
+    "profile_orders",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

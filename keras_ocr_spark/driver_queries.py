@@ -4673,6 +4673,59 @@ def q_zorder_cells(spark, sf_dir):
     return L.zcell_stats(_t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey", 4)
 
 
+@register(
+    "profile_orders",
+    """
+    SELECT 'o_orderkey' AS col_name,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(*) - count(o_orderkey) AS BIGINT) AS n_null,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+           CAST(min(o_orderkey) AS VARCHAR) AS min_repr,
+           CAST(max(o_orderkey) AS VARCHAR) AS max_repr
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderpriority) AS BIGINT),
+           CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+           min(o_orderpriority), max(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_totalprice) AS BIGINT),
+           CAST(count(DISTINCT o_totalprice) AS BIGINT),
+           CAST(CAST(floor(min(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR),
+           CAST(CAST(floor(max(o_totalprice) * 100 + 0.5) AS BIGINT) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(count(*) AS BIGINT),
+           CAST(count(*) - count(o_orderdate) AS BIGINT),
+           CAST(count(DISTINCT o_orderdate) AS BIGINT),
+           CAST(epoch_us(min(o_orderdate)) AS VARCHAR),
+           CAST(epoch_us(max(o_orderdate)) AS VARCHAR)
+    FROM orders
+    """,
+)
+def q_profile_orders(spark, sf_dir):
+    """One-scan data profile (``operators/profile.py``): per-column
+    null count, exact cardinality, and type-rendered min/max for four
+    orders columns — computed in ONE aggregate over ONE scan (Expand
+    replicates rows per distinct-agg AFTER column pruning; the
+    HLL-sketch swap is documented for very wide tables), then pivoted
+    row-per-column with ``stack``. Min/max render engine-portably
+    (ints/strings cast, doubles as floor cents, timestamps as unix
+    micros), so the DuckDB oracle — four per-column aggregates UNION
+    ALL'd — matches bit-for-bit."""
+    from .operators.profile import profile_table
+
+    return profile_table(
+        _t(spark, sf_dir, "orders"),
+        ["o_orderkey", "o_orderpriority", "o_totalprice", "o_orderdate"],
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

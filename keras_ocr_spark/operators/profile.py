@@ -1,0 +1,81 @@
+"""One-scan data profiling: per-column audit stats in a single job.
+
+The first thing any pipeline runs against a new 100 TB table: null
+rates, cardinalities, ranges — per column. The naive form is one job
+per column (N scans); this computes EVERY column's stats in ONE
+aggregate over ONE scan, then pivots the single result row to long
+format with ``stack`` (rows = columns — driver-light, no collect).
+
+Cost note: multiple exact ``count(DISTINCT ...)`` in one aggregate
+plan through Spark's Expand operator — the scan's rows are replicated
+once per distinct-agg before the partial aggregate. That is still one
+pass over storage (the win at 100 TB is IO, and Expand happens after
+column pruning), but for very wide tables swap the exact distinct for
+the HLL sketch in ``operators/sketches.py`` (same state row, no
+Expand) — the documented trade.
+
+Min/max are RENDERED engine-portably by dtype (ints/strings cast,
+doubles as floor-rounded cents, timestamps as unix micros, dates ISO)
+so the DuckDB oracle reproduces the profile bit-for-bit — a float
+rendered via each engine's repr would not round-trip.
+
+Reference analog: the dataset audits the reference runs before
+training (alphabet coverage, label lengths, illegal chars —
+/root/reference/keras_ocr/datasets.py:438-444), generalized to any
+table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _renderers(dtype: str):
+    """(min_render, max_render) for a dtype: each maps an aggregated
+    Column to a deterministic cross-engine string."""
+    if dtype in ("double", "float"):
+        return lambda x: F.floor(x * 100 + F.lit(0.5)).cast("long").cast("string")
+    if dtype.startswith("timestamp"):
+        # parquet timestamps load as TIMESTAMP_NTZ; unix_micros needs
+        # the cast (session TZ is UTC, so the reading is unambiguous).
+        return lambda x: F.unix_micros(x.cast("timestamp")).cast("string")
+    if dtype == "date":
+        return lambda x: F.date_format(x, "yyyy-MM-dd")
+    return lambda x: x.cast("string")
+
+
+def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+    """Per-column profile: ``col_name, n_rows, n_null, n_distinct,
+    min_repr, max_repr`` — one scan, one aggregate, one stack pivot."""
+    cols = list(cols or df.columns)
+    dtypes = dict(df.dtypes)
+    missing = [c for c in cols if c not in dtypes]
+    if missing:
+        raise ValueError(f"unknown columns: {missing}")
+    aggs = [F.count(F.lit(1)).alias("_n")]
+    for i, c in enumerate(cols):
+        col = F.col(c)
+        render = _renderers(dtypes[c])
+        aggs += [
+            F.count(col).alias(f"_nn{i}"),
+            F.count_distinct(col).alias(f"_nd{i}"),
+            render(F.min(col)).alias(f"_mi{i}"),
+            render(F.max(col)).alias(f"_ma{i}"),
+        ]
+    one = df.agg(*aggs)
+    stacked = ", ".join(f"'{c}', _nn{i}, _nd{i}, _mi{i}, _ma{i}" for i, c in enumerate(cols))
+    return one.select(
+        "_n",
+        F.expr(
+            f"stack({len(cols)}, {stacked}) "
+            "as (col_name, n_notnull, n_distinct, min_repr, max_repr)"
+        ),
+    ).select(
+        "col_name",
+        F.col("_n").cast("long").alias("n_rows"),
+        (F.col("_n") - F.col("n_notnull")).cast("long").alias("n_null"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        "min_repr",
+        "max_repr",
+    )

@@ -1,0 +1,61 @@
+"""Data profiling: the value contract is driver-attested
+(`profile_orders` — counts, cardinalities, and type-rendered min/max
+reproduce in DuckDB). These pin null handling, dtype rendering for
+types the registered query doesn't cover, and the one-scan plan."""
+
+import datetime as dt
+
+import pytest
+
+from keras_ocr_spark.operators.profile import profile_table
+
+
+@pytest.fixture(scope="module")
+def frame(spark):
+    rows = [
+        (1, "a", 1.005, dt.datetime(2024, 1, 1, 12, 0, 0), dt.date(2024, 1, 1)),
+        (2, None, 2.0, None, dt.date(2024, 2, 2)),
+        (2, "b", None, dt.datetime(2024, 3, 1), None),
+        (None, "b", 0.004, dt.datetime(2024, 1, 1), dt.date(2024, 1, 1)),
+    ]
+    return spark.createDataFrame(
+        rows, "i long, s string, d double, ts timestamp, dt date"
+    )
+
+
+class TestProfile:
+    def test_null_and_distinct_counts(self, spark, frame):
+        out = {r.col_name: r for r in profile_table(frame).collect()}
+        assert all(r.n_rows == 4 for r in out.values())
+        assert out["i"].n_null == 1 and out["i"].n_distinct == 2
+        assert out["s"].n_null == 1 and out["s"].n_distinct == 2
+        assert out["d"].n_null == 1 and out["d"].n_distinct == 3
+
+    def test_dtype_renderers(self, spark, frame):
+        out = {r.col_name: r for r in profile_table(frame).collect()}
+        assert (out["i"].min_repr, out["i"].max_repr) == ("1", "2")
+        assert (out["s"].min_repr, out["s"].max_repr) == ("a", "b")
+        # doubles render as floor-rounded cents: 0.004 -> 0, 2.0 -> 200
+        assert (out["d"].min_repr, out["d"].max_repr) == ("0", "200")
+        assert out["ts"].min_repr == str(
+            int(dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+        )
+        assert (out["dt"].min_repr, out["dt"].max_repr) == ("2024-01-01", "2024-02-02")
+
+    def test_single_scan(self, spark, frame, tmp_path):
+        # One parquet scan feeds every column's stats (the point of the
+        # operator): exactly one FileScan node in the plan.
+        p = str(tmp_path / "t")
+        frame.write.parquet(p)
+        plan = (
+            profile_table(spark.read.parquet(p))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        assert "Expand" in plan  # the documented multi-distinct cost
+
+    def test_unknown_column_rejected(self, spark, frame):
+        with pytest.raises(ValueError):
+            profile_table(frame, ["nope"])
