@@ -105,6 +105,7 @@ BENCH_QUERIES_R5 = [
     "scd2_history",
     "zorder_cells",
     "profile_orders",
+    "skew_report_events",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

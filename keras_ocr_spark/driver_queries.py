@@ -4726,6 +4726,50 @@ def q_profile_orders(spark, sf_dir):
     )
 
 
+@register(
+    "skew_report_events",
+    """
+    WITH counts AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS key_rows
+        FROM events GROUP BY user_id
+    ), totals AS (
+        SELECT CAST(sum(key_rows) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM counts
+    ), topk AS (
+        SELECT user_id, key_rows,
+               CAST(row_number() OVER (ORDER BY key_rows DESC, user_id) AS BIGINT) AS rank
+        FROM counts ORDER BY key_rows DESC, user_id LIMIT 5
+    )
+    SELECT rank,
+           CAST(user_id AS VARCHAR) AS key_repr,
+           key_rows,
+           CAST(key_rows * 1000000 // n_rows AS BIGINT) AS share_ppm,
+           n_rows,
+           n_keys,
+           CAST(n_rows // n_keys AS BIGINT) AS avg_rows_per_key,
+           CAST(key_rows * 100 // (n_rows // n_keys) AS BIGINT) AS skew_x100,
+           CAST(greatest(1, (key_rows + 9) // 10) AS BIGINT) AS salt_factor
+    FROM topk CROSS JOIN totals
+    """,
+)
+def q_skew_report_events(spark, sf_dir):
+    """Pre-join skew diagnostic (``operators/skewjoin.py:skew_report``):
+    top-5 heaviest ``user_id`` keys in events with parts-per-million
+    share, skew-vs-average, and the ceil-division ``salt_factor`` a
+    ``salted_join`` would need at 10 rows/task — all-integer ``div``
+    math so the DuckDB oracle (``//``) reproduces every cell. Plan: ONE
+    map-side-combinable count shuffle (skew-immune by construction)
+    whose exchange is ReuseExchange-shared by the 1-row totals and the
+    TakeOrderedAndProject top-k; totals ride the whitelisted
+    1-row-broadcast BNLJ; rank windows over <= 5 rows."""
+    from .operators.skewjoin import skew_report
+
+    return skew_report(
+        _t(spark, sf_dir, "events"), "user_id", target_rows_per_task=10, top_k=5
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -31,7 +31,7 @@ one oversized work item across uniform units.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -66,3 +66,65 @@ def salted_join(
     )
     out = f_salted.join(d_repl, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def skew_report(
+    df: DataFrame,
+    key: str,
+    target_rows_per_task: int = 1_000_000,
+    top_k: int = 5,
+) -> DataFrame:
+    """Pre-join skew diagnostic: the report a pipeline runs on its fact
+    table BEFORE choosing a join strategy — per-key heavy hitters plus
+    the ``n_salt`` each would need under :func:`salted_join`.
+
+    Returns ``top_k`` rows (heaviest keys first):
+    ``rank, key_repr, key_rows, share_ppm, n_rows, n_keys,
+    avg_rows_per_key, skew_x100, salt_factor`` — all-integer math
+    (``div``, verified bit-identical Spark vs DuckDB) so the report is
+    engine-portable with no float rendering:
+
+    - ``share_ppm``   = key_rows * 1e6 div n_rows (parts per million)
+    - ``skew_x100``   = key_rows * 100 div avg_rows_per_key
+    - ``salt_factor`` = ceil(key_rows / target_rows_per_task), >= 1 —
+      feed the top row's value straight into ``salted_join(n_salt=...)``.
+
+    Plan shape (the 100 TB story): the per-key count is ONE partial-agg
+    shuffle — map-side combine collapses even the hottest key locally,
+    so the diagnostic itself is immune to the skew it measures. Both
+    consumers of the counts frame (the 1-row totals aggregate and the
+    top-k) share that exchange via Spark's ReuseExchange — the fact is
+    scanned ONCE (asserted in tests). Top-k is TakeOrderedAndProject
+    (no global sort of the key space); the totals ride a whitelisted
+    1-row-broadcast BNLJ; rank is a window over the already-limited
+    <= top_k rows.
+    """
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
+    if target_rows_per_task < 1:
+        raise ValueError("target_rows_per_task must be >= 1")
+    counts = df.groupBy(F.col(key)).agg(F.count(F.lit(1)).alias("key_rows"))
+    totals = counts.agg(
+        F.sum("key_rows").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    topk = counts.orderBy(F.desc("key_rows"), F.col(key)).limit(top_k)
+    w = Window.orderBy(F.desc("key_rows"), F.col(key))
+    return (
+        topk.crossJoin(F.broadcast(totals))
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .select(
+            "rank",
+            F.col(key).cast("string").alias("key_repr"),
+            F.col("key_rows").cast("long").alias("key_rows"),
+            F.expr("key_rows * 1000000L div n_rows").alias("share_ppm"),
+            "n_rows",
+            "n_keys",
+            F.expr("n_rows div n_keys").alias("avg_rows_per_key"),
+            F.expr("key_rows * 100L div (n_rows div n_keys)").alias("skew_x100"),
+            F.greatest(
+                F.lit(1).cast("long"),
+                F.expr(f"(key_rows + {target_rows_per_task} - 1) div {target_rows_per_task}").cast("long"),
+            ).alias("salt_factor"),
+        )
+    )

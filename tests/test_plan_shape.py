@@ -223,6 +223,9 @@ class TestNoAccidentalCartesian:
         # 1-row broadcast of the corpus size N onto the tf⋈df frame
         # (same 1-row-side shape).
         "tfidf_top_terms",
+        # 1-row broadcast of the (n_rows, n_keys) totals onto the
+        # <= top_k heavy-hitter rows (same 1-row-side shape).
+        "skew_report_events",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {
