@@ -106,6 +106,7 @@ BENCH_QUERIES_R5 = [
     "zorder_cells",
     "profile_orders",
     "skew_report_events",
+    "expectations_lineitem",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4770,6 +4770,50 @@ def q_skew_report_events(spark, sf_dir):
     )
 
 
+_EXPECT_RULES = [
+    ("shipdate present", "l_shipdate IS NOT NULL"),
+    ("qty le 30", "l_quantity <= 30"),
+    ("tax le 5pct", "l_tax <= 0.05"),
+    ("discount le 8pct", "l_discount <= 0.08"),
+    ("returnflag known", "l_returnflag IN ('A', 'N', 'R')"),
+]
+
+_EXPECT_ORACLE = (
+    "WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+    + ", ".join(
+        "CAST(sum(CASE WHEN NOT coalesce({p}, false) THEN 1 ELSE 0 END) AS BIGINT) AS v{i}".format(
+            p=p, i=i
+        )
+        for i, (_, p) in enumerate(_EXPECT_RULES)
+    )
+    + " FROM lineitem) "
+    + " UNION ALL ".join(
+        "SELECT CAST({i} AS BIGINT) AS rule_idx, '{n}' AS rule_name, n AS n_rows, "
+        "v{i} AS n_violations, "
+        "CAST(CASE WHEN n = 0 THEN 0 ELSE v{i} * 1000000 // n END AS BIGINT) AS violation_ppm, "
+        "CAST(CASE WHEN v{i} = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed FROM t".format(
+            i=i, n=n
+        )
+        for i, (n, _) in enumerate(_EXPECT_RULES)
+    )
+)
+
+
+@register("expectations_lineitem", _EXPECT_ORACLE)
+def q_expectations_lineitem(spark, sf_dir):
+    """Data-contract gate (``operators/expectations.py``): five SQL
+    rules over lineitem — the SAME predicate text runs in Spark and in
+    the DuckDB oracle — evaluated in ONE aggregate over ONE scan (no
+    Expand: plain conditional sums, whole-stage codegen), pivoted
+    row-per-rule with ``stack``. NULL predicates count as violations
+    (strict-gate semantics). The mix matters: two rules pass clean
+    (TPC-H invariants) and three carry real violation counts, so the
+    hash attests both arms of the ppm/passed arithmetic."""
+    from .operators.expectations import check_expectations
+
+    return check_expectations(_t(spark, sf_dir, "lineitem"), _EXPECT_RULES)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
