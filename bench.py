@@ -107,6 +107,7 @@ BENCH_QUERIES_R5 = [
     "profile_orders",
     "skew_report_events",
     "expectations_lineitem",
+    "url_canonicalize",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4814,6 +4814,75 @@ def q_expectations_lineitem(spark, sf_dir):
     return check_expectations(_t(spark, sf_dir, "lineitem"), _EXPECT_RULES)
 
 
+#: Deterministic dirty-URL synthesis from doc_id — identical text runs
+#: in Spark SQL and DuckDB. Covers every canonicalization arm: https:443
+#: and http:80 (dropped) vs :8080 (kept), mixed-case scheme/host,
+#: trailing slash, tracking-only and mixed query strings, fragments.
+_URL_SYNTH = """
+concat(
+  CASE WHEN doc_id % 4 = 0 THEN 'HTTPS' ELSE 'HTTP' END, '://',
+  CASE WHEN doc_id % 2 = 0
+       THEN 'WWW.Example' || CAST(doc_id % 7 AS STRING) || '.COM'
+       ELSE 'blog.Test' || CAST(doc_id % 5 AS STRING) || '.org' END,
+  CASE WHEN doc_id % 4 = 0 THEN ':443'
+       WHEN doc_id % 4 = 1 THEN ':80'
+       WHEN doc_id % 4 = 2 THEN ':8080'
+       ELSE '' END,
+  '/Path/', CAST(doc_id % 11 AS STRING),
+  CASE WHEN doc_id % 3 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 2 = 0 THEN '?b=' || CAST(doc_id % 9 AS STRING) || '&utm_source=feed&a=1'
+       WHEN doc_id % 5 = 0 THEN '?utm_campaign=x'
+       ELSE '' END,
+  CASE WHEN doc_id % 6 = 0 THEN '#frag' ELSE '' END)
+"""
+
+_URL_ORACLE = rf"""
+WITH u AS (SELECT doc_id, {_URL_SYNTH} AS url FROM documents),
+p AS (SELECT doc_id, url,
+    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1)) AS scheme,
+    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1)) AS authority,
+    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)', 1), '/$', '') AS path,
+    regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM u),
+q AS (SELECT *, regexp_extract(authority, '^([^:]*)', 1) AS host,
+               regexp_extract(authority, ':([0-9]+)$', 1) AS port FROM p),
+r AS (SELECT *, coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        x -> x <> '' AND NOT starts_with(x, 'utm_')
+             AND string_split(x, '=')[1] NOT IN ('fbclid', 'gclid', 'msclkid', 'ref'))), '&'), '') AS cq
+  FROM q)
+SELECT doc_id, url,
+       scheme || '://' ||
+       CASE WHEN (scheme = 'http' AND port = '80') OR (scheme = 'https' AND port = '443') OR port = ''
+            THEN host ELSE host || ':' || port END ||
+       path ||
+       CASE WHEN cq = '' THEN '' ELSE '?' || cq END AS canon_url,
+       host
+FROM r
+"""
+
+
+@register("url_canonicalize", _URL_ORACLE)
+def q_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (``operators/urltools.py``): dirty URLs
+    synthesized deterministically from doc_id (identical synthesis text
+    in both engines, covering every arm — default-port drop, case
+    folding, trailing slash, tracking-param filter + bytewise param
+    sort, fragment drop), canonicalized by TWO independent
+    implementations: Spark Column algebra (regexp + filter/array_sort
+    HOFs, zero-shuffle codegen projection) vs DuckDB regexp/list
+    functions — value-hashed against each other, the NFC-style
+    two-impl attestation."""
+    from .operators.urltools import canonicalize_url, url_host
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", F.expr(_URL_SYNTH).alias("url"))
+    return d.select(
+        "doc_id",
+        "url",
+        canonicalize_url(F.col("url")).alias("canon_url"),
+        url_host(F.col("url")).alias("host"),
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
