@@ -108,6 +108,7 @@ BENCH_QUERIES_R5 = [
     "skew_report_events",
     "expectations_lineitem",
     "url_canonicalize",
+    "mad_outliers",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -4883,6 +4883,63 @@ def q_url_canonicalize(spark, sf_dir):
     )
 
 
+_MAD_ORACLE = """
+WITH hist AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), medc AS (
+    SELECT event_type, cents, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+), med AS (
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN cents END)
+              + min(CASE WHEN cum >= n // 2 + 1 THEN cents END) AS BIGINT) AS med_cents_x2
+    FROM medc GROUP BY 1
+), dev AS (
+    SELECT h.event_type, abs(2 * h.cents - m.med_cents_x2) AS dev_x2, h.cnt, m.med_cents_x2
+    FROM hist h JOIN med m USING (event_type)
+), devh AS (
+    SELECT event_type, dev_x2, CAST(sum(cnt) AS BIGINT) AS cnt FROM dev GROUP BY 1, 2
+), madc AS (
+    SELECT event_type, dev_x2, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY dev_x2 ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+    FROM devh
+), mad AS (
+    SELECT event_type,
+           CAST(min(CASE WHEN cum >= (n + 1) // 2 THEN dev_x2 END)
+              + min(CASE WHEN cum >= n // 2 + 1 THEN dev_x2 END) AS BIGINT) AS mad_cents_x4
+    FROM madc GROUP BY 1
+)
+SELECT d.event_type,
+       CAST(sum(d.cnt) AS BIGINT) AS n_rows,
+       CAST(max(d.med_cents_x2) AS BIGINT) AS med_cents_x2,
+       CAST(max(a.mad_cents_x4) AS BIGINT) AS mad_cents_x4,
+       CAST(sum(CASE WHEN 2 * d.dev_x2 > 3 * a.mad_cents_x4 THEN d.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad a USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("mad_outliers", _MAD_ORACLE)
+def q_mad_outliers(spark, sf_dir):
+    """Robust per-group outlier report (``operators/robust.py``): exact
+    median + MAD of events.value per event_type from a (group, cents)
+    histogram — the raw table is scanned ONCE into a partial-agg count
+    shuffle (skew-immune); median/MAD/outlier counts all run on the
+    histogram, bounded by the cents DOMAIN, not the row count (the
+    exact cousin of the HDR sketch). Integer x2/x4 carry — lower+upper
+    central order statistics, never divided — so no float exists
+    anywhere and the DuckDB CTE mirror hash-matches bit-for-bit.
+    Outlier rule: |dev| > 3 MADs, tested as 2*dev_x2 > 3*mad_x4."""
+    from .operators.robust import mad_outlier_report
+
+    return mad_outlier_report(_t(spark, sf_dir, "events"), "event_type", "value", k=3)
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
