@@ -109,6 +109,7 @@ BENCH_QUERIES_R5 = [
     "expectations_lineitem",
     "url_canonicalize",
     "mad_outliers",
+    "referential_audit",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

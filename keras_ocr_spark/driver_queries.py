@@ -4940,6 +4940,69 @@ def q_mad_outliers(spark, sf_dir):
     return mad_outlier_report(_t(spark, sf_dir, "events"), "event_type", "value", k=3)
 
 
+_REF_ORACLE = """
+SELECT CAST(0 AS BIGINT) AS edge_idx, 'lineitem.l_orderkey -> orders' AS edge_name,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN l.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_fk,
+       CAST(sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_orphans,
+       CAST(CASE WHEN count(l.l_orderkey) = 0 THEN 0
+                 ELSE sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(l.l_orderkey) END AS BIGINT) AS orphan_ppm,
+       CAST(CASE WHEN sum(CASE WHEN l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT) AS passed
+FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o ON l.l_orderkey = o.o_orderkey
+UNION ALL
+SELECT CAST(1 AS BIGINT), 'orders.o_custkey -> customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN r.o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN r.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN count(r.o_custkey) = 0 THEN 0
+                 ELSE sum(CASE WHEN r.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(r.o_custkey) END AS BIGINT),
+       CAST(CASE WHEN sum(CASE WHEN r.o_custkey IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM orders r LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON r.o_custkey = c.c_custkey
+UNION ALL
+SELECT CAST(2 AS BIGINT), 'events.user_id -> customer',
+       CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN e.user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CASE WHEN count(e.user_id) = 0 THEN 0
+                 ELSE sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) * 1000000 // count(e.user_id) END AS BIGINT),
+       CAST(CASE WHEN sum(CASE WHEN e.user_id IS NOT NULL AND c.c_custkey IS NULL THEN 1 ELSE 0 END) = 0 THEN 1 ELSE 0 END AS BIGINT)
+FROM events e LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c ON e.user_id = c.c_custkey
+"""
+
+
+@register("referential_audit", _REF_ORACLE)
+def q_referential_audit(spark, sf_dir):
+    """Referential-integrity audit (``operators/refintegrity.py``):
+    orphan counts for three FK edges — two clean TPC-H invariants
+    (lineitem->orders, orders->customer) and one edge with REAL
+    orphans (events.user_id=0 has no customer row: c_custkey starts at
+    1), so both arms of the ppm/passed arithmetic hash-attest. NULL
+    FKs are absence-of-reference, not orphans (reported separately).
+    Per edge: key-only LEFT join against DISTINCT dim keys + one
+    conditional aggregate; Catalyst broadcasts the small dims."""
+    from .operators.refintegrity import FkEdge, referential_audit
+
+    return referential_audit(
+        [
+            FkEdge(
+                "lineitem.l_orderkey -> orders",
+                _t(spark, sf_dir, "lineitem"), "l_orderkey",
+                _t(spark, sf_dir, "orders"), "o_orderkey",
+            ),
+            FkEdge(
+                "orders.o_custkey -> customer",
+                _t(spark, sf_dir, "orders"), "o_custkey",
+                _t(spark, sf_dir, "customer"), "c_custkey",
+            ),
+            FkEdge(
+                "events.user_id -> customer",
+                _t(spark, sf_dir, "events"), "user_id",
+                _t(spark, sf_dir, "customer"), "c_custkey",
+            ),
+        ]
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
