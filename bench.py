@@ -110,6 +110,8 @@ BENCH_QUERIES_R5 = [
     "url_canonicalize",
     "mad_outliers",
     "referential_audit",
+    "tpch_q5",
+    "tpch_q10",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -5003,6 +5003,129 @@ def q_referential_audit(spark, sf_dir):
     )
 
 
+@register(
+    "tpch_q5",
+    """
+    SELECT n.n_name,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    """,
+)
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier revenue — the canonical 6-table snowflake
+    join. Scale notes: the dimension chain region->nation->customer
+    folds into ONE broadcast side carrying (custkey, nationkey, n_name);
+    orders joins it after its date filter pushes to the scan; lineitem
+    joins orders on the orderkey (the one fact-fact shuffle); supplier
+    broadcasts with the c_nationkey = s_nationkey "local supplier"
+    condition as part of the join key, so no post-join filter survives.
+    Revenue rendered by the shared pround(2) convention."""
+    region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nation = _t(spark, sf_dir, "nation").join(
+        F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey")
+    )
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    o_c = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_nationkey", "n_name"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    j = (
+        li.join(o_c, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(sup),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+    )
+    return j.groupBy("n_name").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+
+
+@register(
+    "tpch_q10",
+    """
+    SELECT CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           c.c_name,
+           CAST(floor(sum(l.l_extendedprice * (1 - l.l_discount)) * 100 + 0.5) / 100 AS DOUBLE) AS revenue,
+           CAST(floor(c.c_acctbal * 100 + 0.5) / 100 AS DOUBLE) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting — fact-fact join with a
+    selective fact filter on EACH side (quarter of orders, 'R'
+    lineitems), grouped by customer, top-20 by lost revenue. Scale
+    notes: both filters push to the scans; lineitem⋈orders shuffles on
+    the orderkey; customer+nation fold into one broadcast side; top-20
+    is TakeOrderedAndProject with a custkey tie-break for
+    cross-engine-deterministic LIMIT."""
+    nation = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        _t(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = li.join(orders, F.col("l_orderkey") == F.col("o_orderkey")).join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    )
+    out = j.groupBy("c_custkey", "c_name", "c_acctbal", "n_name").agg(
+        pround(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        )
+    )
+    return (
+        out.select(
+            F.col("c_custkey").cast("long").alias("c_custkey"),
+            "c_name",
+            "revenue",
+            pround(F.col("c_acctbal"), 2).alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
