@@ -45,21 +45,32 @@ def _renderers(dtype: str):
     return lambda x: x.cast("string")
 
 
-def profile_table(df: DataFrame, cols: list[str] | None = None) -> DataFrame:
+def profile_table(
+    df: DataFrame, cols: list[str] | None = None, approx_distinct: bool = False
+) -> DataFrame:
     """Per-column profile: ``col_name, n_rows, n_null, n_distinct,
-    min_repr, max_repr`` — one scan, one aggregate, one stack pivot."""
+    min_repr, max_repr`` — one scan, one aggregate, one stack pivot.
+
+    ``approx_distinct=True`` is the wide-table swap the module
+    docstring trades on: cardinalities come from Spark's native
+    ``approx_count_distinct`` (HyperLogLog++, ~5% rsd) instead of exact
+    ``count(DISTINCT)``, which removes the Expand row replication
+    entirely — the aggregate state is one HLL sketch per column, so a
+    500-column profile costs the same single pass as a 5-column one.
+    Everything else (nulls, typed min/max) stays exact."""
     cols = list(cols or df.columns)
     dtypes = dict(df.dtypes)
     missing = [c for c in cols if c not in dtypes]
     if missing:
         raise ValueError(f"unknown columns: {missing}")
+    n_distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
     aggs = [F.count(F.lit(1)).alias("_n")]
     for i, c in enumerate(cols):
         col = F.col(c)
         render = _renderers(dtypes[c])
         aggs += [
             F.count(col).alias(f"_nn{i}"),
-            F.count_distinct(col).alias(f"_nd{i}"),
+            n_distinct(col).alias(f"_nd{i}"),
             render(F.min(col)).alias(f"_mi{i}"),
             render(F.max(col)).alias(f"_ma{i}"),
         ]

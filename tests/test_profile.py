@@ -59,3 +59,24 @@ class TestProfile:
     def test_unknown_column_rejected(self, spark, frame):
         with pytest.raises(ValueError):
             profile_table(frame, ["nope"])
+
+
+class TestApproxDistinct:
+    def test_no_expand_and_bounded_error(self, spark):
+        df = spark.read.parquet("/root/testdata/sf0.01/orders.parquet")
+        from keras_ocr_spark.operators.profile import profile_table
+
+        cols = ["o_orderkey", "o_orderpriority", "o_totalprice"]
+        exact = {r.col_name: r for r in profile_table(df, cols).collect()}
+        approx_df = profile_table(df, cols, approx_distinct=True)
+        plan = approx_df._jdf.queryExecution().executedPlan().toString()
+        assert "Expand" not in plan  # the HLL swap's whole point
+        assert plan.count("Exchange") <= 2  # partial agg -> single row
+        for r in approx_df.collect():
+            e = exact[r.col_name].n_distinct
+            # HLL++ default rsd is 5%; allow 3x slack for small cards.
+            assert abs(r.n_distinct - e) <= max(3, 0.15 * e), (r.col_name, r.n_distinct, e)
+            # nulls and min/max stay exact in the approx profile
+            assert r.n_null == exact[r.col_name].n_null
+            assert r.min_repr == exact[r.col_name].min_repr
+            assert r.max_repr == exact[r.col_name].max_repr
