@@ -112,6 +112,7 @@ BENCH_QUERIES_R5 = [
     "referential_audit",
     "tpch_q5",
     "tpch_q10",
+    "profile_drift_documents",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -5126,6 +5126,69 @@ def q_tpch_q10(spark, sf_dir):
     )
 
 
+def _drift_profile_sql(src: str) -> str:
+    """DuckDB long-form profile of (doc_id, lang, n_chars) over ``src``
+    — the oracle mirror of operators/profile.py's single-agg profiler
+    (here as three UNION'd aggregates; layout must not change values)."""
+    cols = ["doc_id", "lang", "n_chars"]
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(*) - count({c}) AS BIGINT) AS n_null,
+               CAST(count(DISTINCT {c}) AS BIGINT) AS n_distinct,
+               CAST(min({c}) AS VARCHAR) AS min_repr,
+               CAST(max({c}) AS VARCHAR) AS max_repr
+        FROM {src}"""
+        for c in cols
+    ]
+    return " UNION ALL ".join(parts)
+
+
+_DRIFT_ORACLE = f"""
+WITH newt AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+           n_chars
+    FROM documents WHERE doc_id % 10 <> 0
+),
+po AS ({_drift_profile_sql('documents')}),
+pn AS ({_drift_profile_sql('newt')}),
+o AS (SELECT col_name, n_rows AS n_rows_old,
+             CAST(CASE WHEN n_rows = 0 THEN 0 ELSE n_null * 1000000 // n_rows END AS BIGINT) AS null_ppm_old,
+             n_distinct AS n_distinct_old, min_repr AS mino, max_repr AS maxo FROM po),
+n AS (SELECT col_name, n_rows AS n_rows_new,
+             CAST(CASE WHEN n_rows = 0 THEN 0 ELSE n_null * 1000000 // n_rows END AS BIGINT) AS null_ppm_new,
+             n_distinct AS n_distinct_new, min_repr AS minn, max_repr AS maxn FROM pn)
+SELECT col_name, n_rows_old, n_rows_new, null_ppm_old, null_ppm_new,
+       CAST(null_ppm_new - null_ppm_old AS BIGINT) AS null_ppm_delta,
+       n_distinct_old, n_distinct_new,
+       CAST(CASE WHEN n_distinct_old = 0 THEN 0 ELSE n_distinct_new * 100 // n_distinct_old END AS BIGINT) AS distinct_ratio_x100,
+       CAST(CASE WHEN (mino IS DISTINCT FROM minn) OR (maxo IS DISTINCT FROM maxn) THEN 1 ELSE 0 END AS BIGINT) AS minmax_changed
+FROM o JOIN n USING (col_name)
+"""
+
+
+@register("profile_drift_documents", _DRIFT_ORACLE)
+def q_profile_drift_documents(spark, sf_dir):
+    """Snapshot drift report (``operators/profile.py:profile_drift``):
+    documents vs a deterministically mutated "next batch" (every 10th
+    doc dropped, lang NULLed on every 7th) — per-column null-ppm
+    delta, cardinality ratio, and null-safe min/max movement, all
+    integer. Exercises every drift arm: doc_id loses rows+cardinality
+    with moved bounds, lang gains real nulls, n_chars shifts bounds
+    only if the dropped decile held an extremum. One profile scan per
+    snapshot (the minimum), joined on col_name."""
+    from .operators.profile import profile_drift
+
+    old = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    new = old.filter(F.expr("doc_id % 10 <> 0")).select(
+        "doc_id",
+        F.expr("CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END").alias("lang"),
+        "n_chars",
+    )
+    return profile_drift(old, new, ["doc_id", "lang", "n_chars"])
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -90,3 +90,59 @@ def profile_table(
         "min_repr",
         "max_repr",
     )
+
+
+def profile_drift(
+    old: DataFrame, new: DataFrame, cols: list[str] | None = None
+) -> DataFrame:
+    """Snapshot-over-snapshot drift report: the per-column comparison an
+    ingest pipeline runs between yesterday's and today's batch to catch
+    schema rot BEFORE it poisons downstream joins (a lang column going
+    10% NULL; a key column's cardinality collapsing).
+
+    One profile scan per snapshot (the minimum — two independent
+    tables), joined on ``col_name``. All-integer drift metrics (the
+    ``div`` convention):
+    ``col_name, n_rows_old, n_rows_new, null_ppm_old, null_ppm_new,
+    null_ppm_delta, n_distinct_old, n_distinct_new, distinct_ratio_x100,
+    minmax_changed`` — ratio is new*100 div old (0 when old had no
+    distinct values), ``minmax_changed`` is 1 when either rendered
+    bound moved."""
+    cols = list(cols or [c for c in old.columns if c in set(new.columns)])
+    po = profile_table(old, cols)
+    pn = profile_table(new, cols)
+    o = po.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_old"),
+        F.expr("if(n_rows = 0, 0L, n_null * 1000000L div n_rows)").alias("null_ppm_old"),
+        F.col("n_distinct").alias("n_distinct_old"),
+        F.col("min_repr").alias("_mino"),
+        F.col("max_repr").alias("_maxo"),
+    )
+    n = pn.select(
+        "col_name",
+        F.col("n_rows").alias("n_rows_new"),
+        F.expr("if(n_rows = 0, 0L, n_null * 1000000L div n_rows)").alias("null_ppm_new"),
+        F.col("n_distinct").alias("n_distinct_new"),
+        F.col("min_repr").alias("_minn"),
+        F.col("max_repr").alias("_maxn"),
+    )
+    return o.join(n, "col_name").select(
+        "col_name",
+        "n_rows_old",
+        "n_rows_new",
+        "null_ppm_old",
+        "null_ppm_new",
+        (F.col("null_ppm_new") - F.col("null_ppm_old")).alias("null_ppm_delta"),
+        "n_distinct_old",
+        "n_distinct_new",
+        F.expr(
+            "if(n_distinct_old = 0, 0L, n_distinct_new * 100L div n_distinct_old)"
+        ).alias("distinct_ratio_x100"),
+        (
+            ~(F.col("_mino").eqNullSafe(F.col("_minn")))
+            | ~(F.col("_maxo").eqNullSafe(F.col("_maxn")))
+        )
+        .cast("long")
+        .alias("minmax_changed"),
+    )

@@ -80,3 +80,46 @@ class TestApproxDistinct:
             assert r.n_null == exact[r.col_name].n_null
             assert r.min_repr == exact[r.col_name].min_repr
             assert r.max_repr == exact[r.col_name].max_repr
+
+
+class TestProfileDrift:
+    def test_drift_arms(self, spark):
+        from keras_ocr_spark.operators.profile import profile_drift
+
+        old = spark.createDataFrame(
+            [(1, "en", 5.0), (2, "de", 7.0), (3, "en", 9.0), (4, None, 2.0)],
+            "id long, lang string, v double",
+        )
+        new = spark.createDataFrame(
+            [(1, None, 5.0), (2, "de", 7.0), (5, "fr", 99.0)],
+            "id long, lang string, v double",
+        )
+        got = {r.col_name: r for r in profile_drift(old, new).collect()}
+        # id: 4 -> 3 rows, cardinality 4 -> 3, max moved 4 -> 5
+        assert got["id"].n_rows_old == 4 and got["id"].n_rows_new == 3
+        assert got["id"].distinct_ratio_x100 == 3 * 100 // 4
+        assert got["id"].minmax_changed == 1
+        # lang: null rate 1/4 -> 1/3
+        assert got["lang"].null_ppm_old == 1_000_000 // 4
+        assert got["lang"].null_ppm_new == 1_000_000 // 3
+        assert got["lang"].null_ppm_delta == got["lang"].null_ppm_new - got["lang"].null_ppm_old
+        # v: bounds moved (max 9.0 -> 99.0)
+        assert got["v"].minmax_changed == 1
+
+    def test_identical_snapshots_report_no_drift(self, spark):
+        from keras_ocr_spark.operators.profile import profile_drift
+
+        df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        for r in profile_drift(df, df).collect():
+            assert r.null_ppm_delta == 0
+            assert r.distinct_ratio_x100 == 100
+            assert r.minmax_changed == 0
+
+    def test_all_null_column_compares_null_safely(self, spark):
+        from keras_ocr_spark.operators.profile import profile_drift
+
+        old = spark.createDataFrame([(1, None), (2, None)], "id long, s string")
+        got = {r.col_name: r for r in profile_drift(old, old).collect()}
+        # min/max of an all-NULL column are NULL on both sides -> unchanged.
+        assert got["s"].minmax_changed == 0
+        assert got["s"].distinct_ratio_x100 == 0  # old distinct 0 -> guarded div
