@@ -113,6 +113,7 @@ BENCH_QUERIES_R5 = [
     "tpch_q5",
     "tpch_q10",
     "profile_drift_documents",
+    "orc_roundtrip",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

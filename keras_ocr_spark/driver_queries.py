@@ -5189,6 +5189,37 @@ def q_profile_drift_documents(spark, sf_dir):
     return profile_drift(old, new, ["doc_id", "lang", "n_chars"])
 
 
+@register(
+    "orc_roundtrip",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id, text, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents WHERE n_chars >= 100
+    """,
+)
+def q_orc_roundtrip(spark, sf_dir):
+    """Polymorphic-source coverage, ORC edition: documents written as
+    ORC and read back THROUGH a pushed filter — the oracle reads the
+    original parquet, so the value-hash proves the ORC write+read
+    round-trip is lossless AND that the n_chars predicate applied on
+    the ORC side selects the identical row set (ORC min/max pushdown
+    is exercised, not just format plumbing; the filter reaches the
+    scan — see tests/test_loaders.py plan assert)."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    from .sources.tableio import read_orc, write_orc
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/docs_orc_{tag}"
+    if not (_P(path) / "_SUCCESS").exists():
+        write_orc(_t(spark, sf_dir, "documents"), path)
+    out = read_orc(spark, path).filter(F.col("n_chars") >= 100)
+    return out.select(
+        F.col("doc_id").cast("long").alias("id"), "text", "lang", "source", _b("n_chars")
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -92,3 +92,29 @@ class TestLayout:
         res = compact(spark, src, out, target_file_mb=64)
         assert res["files_after"] == 1  # tiny data -> one file
         assert spark.read.parquet(out).count() == 10000
+
+
+class TestOrcRoundtrip:
+    def test_lossless_and_filter_pushed(self, spark, tmp_path):
+        from pyspark.sql import functions as F
+
+        from keras_ocr_spark.sources.tableio import read_orc, write_orc
+
+        src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        path = str(tmp_path / "docs_orc")
+        write_orc(src, path)
+        back = read_orc(spark, path)
+        # lossless: same rows, same schema, same content checksum
+        assert back.schema == src.schema
+        chk = lambda df: df.select(  # noqa: E731
+            F.expr(f"bit_xor(xxhash64({', '.join(sorted(df.columns))}))").alias("x")
+        ).collect()[0].x
+        assert back.count() == src.count() and chk(back) == chk(src)
+        # predicate reaches the ORC scan (min/max pushdown works)
+        plan = (
+            back.filter(F.col("n_chars") >= 100)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,100)]" in plan
