@@ -114,6 +114,7 @@ BENCH_QUERIES_R5 = [
     "tpch_q10",
     "profile_drift_documents",
     "orc_roundtrip",
+    "winsor_bounds",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

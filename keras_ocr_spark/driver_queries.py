@@ -5220,6 +5220,47 @@ def q_orc_roundtrip(spark, sf_dir):
     )
 
 
+_WINSOR_ORACLE = """
+WITH hist AS (
+    SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM events WHERE value IS NOT NULL GROUP BY 1, 2
+), c AS (
+    SELECT event_type, cents, cnt,
+           sum(cnt) OVER (PARTITION BY event_type ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cum,
+           sum(cnt) OVER (PARTITION BY event_type) AS n
+    FROM hist
+), b AS (
+    SELECT event_type,
+           CAST(max(n) AS BIGINT) AS n_rows,
+           CAST(min(CASE WHEN cum >= (10 * n + 999) // 1000 THEN cents END) AS BIGINT) AS lo_cents,
+           CAST(min(CASE WHEN cum >= (990 * n + 999) // 1000 THEN cents END) AS BIGINT) AS hi_cents
+    FROM c GROUP BY 1
+)
+SELECT h.event_type, max(b.n_rows) AS n_rows,
+       max(b.lo_cents) AS lo_cents, max(b.hi_cents) AS hi_cents,
+       CAST(coalesce(sum(CASE WHEN h.cents < b.lo_cents THEN h.cnt END), 0) AS BIGINT) AS n_below,
+       CAST(coalesce(sum(CASE WHEN h.cents > b.hi_cents THEN h.cnt END), 0) AS BIGINT) AS n_above
+FROM hist h JOIN b USING (event_type)
+GROUP BY 1
+"""
+
+
+@register("winsor_bounds", _WINSOR_ORACLE)
+def q_winsor_bounds(spark, sf_dir):
+    """Per-group winsorization bounds (``operators/robust.py:
+    percentile_bounds``): nearest-rank p1/p99 (permille 10/990) of
+    events.value per event_type, plus the outside-row counts — the
+    same ONE-scan domain-bounded histogram engine as mad_outliers,
+    integer everywhere (rank = (p*n + 999) div 1000), DuckDB CTE
+    mirror hash-matched."""
+    from .operators.robust import percentile_bounds
+
+    return percentile_bounds(
+        _t(spark, sf_dir, "events"), "event_type", "value", lo_permille=10, hi_permille=990
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

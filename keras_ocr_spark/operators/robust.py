@@ -96,3 +96,82 @@ def mad_outlier_report(
             .alias("n_outliers"),
         )
     )
+
+
+def percentile_bounds(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_permille: int = 10,
+    hi_permille: int = 990,
+) -> DataFrame:
+    """Per-group winsorization bounds: the nearest-rank (no
+    interpolation — the classic discrete order statistic, rank =
+    ``(p*n + 999) div 1000``) percentile values at ``lo_permille`` and
+    ``hi_permille``, plus how many rows fall outside them. Same
+    domain-bounded histogram engine as :func:`mad_outlier_report`:
+    ONE raw scan into the (group, cents) histogram, everything else on
+    the histogram. Returns ``{group_col}, n_rows, lo_cents, hi_cents,
+    n_below, n_above`` — all BIGINT, no float anywhere."""
+    if not (0 < lo_permille < hi_permille <= 1000):
+        raise ValueError("need 0 < lo_permille < hi_permille <= 1000")
+    df = df.filter(F.expr(value_col).isNotNull())
+    cents = F.expr(f"cast(floor({value_col} * 100 + 0.5) as long)")
+    hist = df.groupBy(F.col(group_col), cents.alias("_cents")).agg(
+        F.count(F.lit(1)).alias("_cnt")
+    )
+    w_cum = W.partitionBy(group_col).orderBy("_cents").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    w_all = W.partitionBy(group_col)
+    h = hist.withColumn("_cum", F.sum("_cnt").over(w_cum)).withColumn(
+        "_n", F.sum("_cnt").over(w_all)
+    )
+    lo_rank = F.expr(f"({lo_permille} * _n + 999) div 1000")
+    hi_rank = F.expr(f"({hi_permille} * _n + 999) div 1000")
+    bounds = h.groupBy(group_col).agg(
+        F.max("_n").cast("long").alias("n_rows"),
+        F.min(F.when(F.col("_cum") >= lo_rank, F.col("_cents"))).cast("long").alias("lo_cents"),
+        F.min(F.when(F.col("_cum") >= hi_rank, F.col("_cents"))).cast("long").alias("hi_cents"),
+    )
+    return (
+        hist.join(F.broadcast(bounds), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.max("n_rows").alias("n_rows"),
+            F.max("lo_cents").alias("lo_cents"),
+            F.max("hi_cents").alias("hi_cents"),
+            F.coalesce(
+                F.sum(F.when(F.col("_cents") < F.col("lo_cents"), F.col("_cnt"))), F.lit(0)
+            ).cast("long").alias("n_below"),
+            F.coalesce(
+                F.sum(F.when(F.col("_cents") > F.col("hi_cents"), F.col("_cnt"))), F.lit(0)
+            ).cast("long").alias("n_above"),
+        )
+    )
+
+
+def winsorize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    lo_permille: int = 10,
+    hi_permille: int = 990,
+):
+    """Clip ``value_col`` (as cents) to the per-group nearest-rank
+    percentile bounds: the robust alternative to dropping tail rows
+    when the downstream consumer needs every row but not its extremes.
+    Adds ``cents_winsorized``; the bounds ride a tiny broadcast join
+    (one row per group), so the clip itself is shuffle-free on the
+    fact side beyond the bounds computation."""
+    bounds = percentile_bounds(df, group_col, value_col, lo_permille, hi_permille)
+    cents = F.expr(f"cast(floor({value_col} * 100 + 0.5) as long)")
+    return (
+        df.filter(F.expr(value_col).isNotNull())
+        .join(F.broadcast(bounds.select(group_col, "lo_cents", "hi_cents")), group_col)
+        .withColumn(
+            "cents_winsorized",
+            F.greatest(F.col("lo_cents"), F.least(F.col("hi_cents"), cents)),
+        )
+        .drop("lo_cents", "hi_cents")
+    )

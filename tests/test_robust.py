@@ -75,3 +75,45 @@ class TestMadOutlierReport:
         df = spark.createDataFrame([("g", 1.0)], "g string, v double")
         with pytest.raises(ValueError):
             mad_outlier_report(df, "g", "v", k=0)
+
+
+class TestPercentileBounds:
+    def test_nearest_rank_vs_python(self, spark):
+        import math
+
+        from keras_ocr_spark.operators.robust import percentile_bounds
+
+        vals = [float(v) for v in range(1, 201)]  # 1.0 .. 200.0
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        row = percentile_bounds(df, "g", "v", 100, 900).collect()[0]
+        cents = sorted(round(v * 100) for v in vals)
+        n = len(cents)
+        lo = cents[math.ceil(100 * n / 1000) - 1]
+        hi = cents[math.ceil(900 * n / 1000) - 1]
+        assert (row.lo_cents, row.hi_cents) == (lo, hi)
+        assert row.n_below == sum(1 for c in cents if c < lo)
+        assert row.n_above == sum(1 for c in cents if c > hi)
+
+    def test_winsorize_clips_to_bounds(self, spark):
+        from keras_ocr_spark.operators.robust import percentile_bounds, winsorize
+
+        vals = [1.0] + [10.0] * 98 + [1000.0]
+        df = spark.createDataFrame([("g", v) for v in vals], "g string, v double")
+        b = percentile_bounds(df, "g", "v", 50, 950).collect()[0]
+        out = winsorize(df, "g", "v", 50, 950)
+        stats = out.agg(
+            {"cents_winsorized": "min"}
+        ).collect()[0][0], out.agg({"cents_winsorized": "max"}).collect()[0][0]
+        assert stats == (b.lo_cents, b.hi_cents)
+        assert out.count() == 100  # every row kept, extremes clipped
+
+    def test_validation(self, spark):
+        from keras_ocr_spark.operators.robust import percentile_bounds
+
+        df = spark.createDataFrame([("g", 1.0)], "g string, v double")
+        import pytest as _pt
+
+        with _pt.raises(ValueError):
+            percentile_bounds(df, "g", "v", 990, 10)
+        with _pt.raises(ValueError):
+            percentile_bounds(df, "g", "v", 0, 990)
