@@ -115,6 +115,7 @@ BENCH_QUERIES_R5 = [
     "profile_drift_documents",
     "orc_roundtrip",
     "winsor_bounds",
+    "dpp_event_rollup",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

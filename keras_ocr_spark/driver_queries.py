@@ -5261,6 +5261,52 @@ def q_winsor_bounds(spark, sf_dir):
     )
 
 
+@register(
+    "dpp_event_rollup",
+    """
+    WITH dim AS (SELECT DISTINCT event_type FROM events WHERE value > 400)
+    SELECT e.event_type,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(floor(sum(e.value) * 100 + 0.5) AS BIGINT) AS sum_value_cents
+    FROM events e JOIN dim USING (event_type)
+    GROUP BY e.event_type
+    """,
+)
+def q_dpp_event_rollup(spark, sf_dir):
+    """Dynamic partition pruning: events written Hive-partitioned by
+    event_type (one /tmp copy, guarded), then joined against a
+    runtime-derived dimension (the types that ever carry value > 400 —
+    a SELECTIVE scan-level predicate, the shape Spark's DPP heuristic
+    requires; a LIMIT/top-k dim or a filter over an aggregate does NOT
+    qualify, found empirically). The fact scan's PartitionFilters gains
+    ``dynamicpruningexpression(event_type IN dynamicpruning#N)`` — at
+    100 TB this is the difference between scanning every partition and
+    scanning the matched ones, decided at RUNTIME from the dim's
+    broadcast. Value parity vs the oracle's plain join proves pruning
+    changed IO, not results; the DPP plan line is machine-asserted in
+    tests/test_plan_shape.py."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    path = f"/tmp/events_by_type_{tag}"
+    if not (_P(path) / "_SUCCESS").exists():
+        _t(spark, sf_dir, "events").write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(path)
+    fact = spark.read.parquet(path)
+    dim = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value") > 400)
+        .select("event_type")
+        .distinct()
+    )
+    return fact.join(dim, "event_type").groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("cast(floor(sum(value) * 100 + 0.5) as bigint)").alias("sum_value_cents"),
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -326,3 +326,26 @@ class TestAqeSkewJoin:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
+
+
+class TestDynamicPartitionPruning:
+    """dpp_event_rollup's scale claim: the fact scan is pruned at
+    RUNTIME by the dim's broadcast result, not statically."""
+
+    def test_dpp_expression_reaches_partition_filters(self, spark, tmp_path):
+        import re
+
+        from pyspark.sql import functions as F
+
+        ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        path = str(tmp_path / "ev_by_type")
+        ev.write.mode("overwrite").partitionBy("event_type").parquet(path)
+        fact = spark.read.parquet(path)
+        dim = ev.filter(F.col("value") > 400).select("event_type").distinct()
+        j = fact.join(dim, "event_type").groupBy("event_type").count()
+        matched = [r.event_type for r in dim.collect()]
+        got = [r.event_type for r in j.collect()]
+        assert sorted(got) == sorted(matched)
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
+        assert pf and "dynamicpruningexpression" in pf.group(0), plan[:2000]
