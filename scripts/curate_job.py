@@ -68,14 +68,21 @@ def main() -> int:
         .join(tokens.withColumnRenamed("id", "doc_id"), "doc_id")
         .filter(F.col("quality") >= args.min_quality)
     )
-    curated.write.mode("overwrite").parquet(args.output)
+    # Summary stats ride the WRITE job via Observation (plans/observe.py)
+    # — the old form re-read the freshly written output, paying a whole
+    # second scan for three aggregates; at 100 TB that second scan IS
+    # the cost of the job again.
+    from keras_ocr_spark.plans.observe import write_with_audit
 
-    back = spark.read.parquet(args.output)
-    stats = back.agg(
-        F.count("*").alias("n_kept"),
-        F.coalesce(F.sum("n_bpe_tokens"), F.lit(0)).alias("kept_tokens"),
-        F.coalesce(F.bit_xor(F.xxhash64("doc_id", "text")), F.lit(0)).alias("content_hash"),
-    ).collect()[0]
+    stats = write_with_audit(
+        curated,
+        args.output,
+        {
+            "n_kept": "count(*)",
+            "kept_tokens": "coalesce(sum(n_bpe_tokens), 0)",
+            "content_hash": "coalesce(bit_xor(xxhash64(doc_id, text)), 0)",
+        },
+    )
     summary = {
         "n_in": n_in,
         "near_dup_pairs": n_pairs,
