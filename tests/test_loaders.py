@@ -118,3 +118,42 @@ class TestOrcRoundtrip:
             .toString()
         )
         assert "PushedFilters: [IsNotNull(n_chars), GreaterThanOrEqual(n_chars,100)]" in plan
+
+
+class TestJsonlCorruptRows:
+    """read_jsonl's documented malformed-row contract, exercised: in
+    PERMISSIVE mode with an explicit schema a corrupt line becomes an
+    all-NULL row unless the schema appends _corrupt_record (then the
+    raw line is captured there); FAILFAST aborts on the first bad
+    line."""
+
+    @pytest.fixture()
+    def dirty_path(self, tmp_path):
+        p = tmp_path / "dirty.jsonl"
+        p.write_text(
+            '{"doc_id": 1, "text": "ok one"}\n'
+            "{this is not json}\n"
+            '{"doc_id": 3, "text": "ok three"}\n'
+        )
+        return str(p)
+
+    def test_permissive_captures_corrupt_record(self, spark, dirty_path):
+        from keras_ocr_spark.sources.tableio import read_jsonl
+
+        df = read_jsonl(
+            spark, dirty_path, "doc_id long, text string, _corrupt_record string"
+        ).cache()  # Spark requires caching to query _corrupt_record alone
+        try:
+            bad = df.filter("_corrupt_record IS NOT NULL").collect()
+            good = df.filter("_corrupt_record IS NULL").collect()
+            assert len(bad) == 1 and bad[0]._corrupt_record.startswith("{this")
+            assert sorted(r.doc_id for r in good) == [1, 3]
+        finally:
+            df.unpersist()
+
+    def test_failfast_aborts(self, spark, dirty_path):
+        with pytest.raises(Exception) as ei:
+            spark.read.schema("doc_id long, text string").option(
+                "mode", "FAILFAST"
+            ).json(dirty_path).collect()
+        assert "Malformed" in str(ei.value) or "FAILFAST" in str(ei.value)
