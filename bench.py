@@ -116,6 +116,7 @@ BENCH_QUERIES_R5 = [
     "orc_roundtrip",
     "winsor_bounds",
     "dpp_event_rollup",
+    "copurchase_lift",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -5307,6 +5307,45 @@ def q_dpp_event_rollup(spark, sf_dir):
     )
 
 
+@register(
+    "copurchase_lift",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i FROM lineitem),
+    kept AS (SELECT * FROM items WHERE b IN
+             (SELECT b FROM items GROUP BY b HAVING count(*) <= 100)),
+    nb AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS n_baskets FROM kept),
+    ic AS (SELECT i, CAST(count(*) AS BIGINT) AS cnt FROM kept GROUP BY 1),
+    pairs AS (SELECT a.i AS item_a, b2.i AS item_b,
+                     CAST(count(*) AS BIGINT) AS pair_count
+              FROM kept a JOIN kept b2 ON a.b = b2.b AND a.i < b2.i
+              GROUP BY 1, 2)
+    SELECT p.item_a, p.item_b, p.pair_count,
+           ca.cnt AS count_a, cb.cnt AS count_b, nb.n_baskets,
+           CAST(p.pair_count * 1000000 // ca.cnt * nb.n_baskets // cb.cnt AS BIGINT) AS lift_x1e6
+    FROM pairs p
+    JOIN ic ca ON p.item_a = ca.i
+    JOIN ic cb ON p.item_b = cb.i
+    CROSS JOIN nb
+    ORDER BY pair_count DESC, item_a, item_b LIMIT 20
+    """,
+)
+def q_copurchase_lift(spark, sf_dir):
+    """Market-basket co-occurrence (``operators/basket.py``): top-20
+    part pairs bought in one order, with integer lift (division order
+    is part of the contract, mirrored in the oracle). The scale story
+    is the basket-size CAP applied BEFORE the self-join — pairs are
+    quadratic in basket size, so one degenerate basket would emit its
+    square; capped baskets are excluded whole (partial baskets would
+    bias pair counts). 1-row n_baskets broadcast (whitelisted BNLJ);
+    top-20 is TakeOrderedAndProject."""
+    from .operators.basket import copurchase_pairs
+
+    return copurchase_pairs(
+        _t(spark, sf_dir, "lineitem"), "l_orderkey", "l_partkey",
+        max_items_per_basket=100, top_k=20,
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
