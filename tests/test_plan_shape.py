@@ -349,3 +349,44 @@ class TestDynamicPartitionPruning:
         plan = j._jdf.queryExecution().executedPlan().toString()
         pf = re.search(r"PartitionFilters: \[[^\]]*\]", plan)
         assert pf and "dynamicpruningexpression" in pf.group(0), plan[:2000]
+
+
+class TestJoinStrategyHints:
+    """The three join strategies on the SAME equi-join, selected via
+    hints, all value-identical: the knob a 100 TB pipeline turns when
+    Catalyst's size estimates are wrong (e.g. a post-filter fact that
+    statistics still size at scan bytes). SHUFFLE_HASH beats SORT_MERGE
+    when one side fits a per-partition hash map (no sort); BROADCAST
+    removes the fact-side exchange entirely."""
+
+    @pytest.fixture(scope="class")
+    def sides(self, spark):
+        li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        return li.select("l_orderkey", "l_quantity"), orders.select("o_orderkey", "o_orderpriority")
+
+    def _join(self, li, orders, hint):
+        return li.join(orders.hint(hint) if hint else orders,
+                       li["l_orderkey"] == orders["o_orderkey"])
+
+    @pytest.mark.parametrize(
+        "hint,node",
+        [
+            ("broadcast", "BroadcastHashJoin"),
+            ("shuffle_hash", "ShuffledHashJoin"),
+            ("merge", "SortMergeJoin"),
+        ],
+    )
+    def test_hint_selects_strategy_and_values_agree(self, spark, sides, hint, node):
+        li, orders = sides
+        j = self._join(li, orders, hint)
+        j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert node in plan, (hint, plan[:800])
+        chk = j.agg(
+            F.expr("count(*)"), F.expr("bit_xor(xxhash64(l_orderkey, l_quantity, o_orderpriority))")
+        ).collect()[0]
+        base = self._join(li, orders, None).agg(
+            F.expr("count(*)"), F.expr("bit_xor(xxhash64(l_orderkey, l_quantity, o_orderpriority))")
+        ).collect()[0]
+        assert tuple(chk) == tuple(base)
