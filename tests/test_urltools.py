@@ -64,3 +64,55 @@ class TestCanonicalizeUrl:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _py_canon(url: str):
+    """Independent Python reference of the module spec (re module —
+    third implementation alongside Spark Columns and the DuckDB
+    oracle)."""
+    import re
+
+    m = re.match(r"^([A-Za-z][A-Za-z0-9+.\-]*)://", url)
+    if not m:
+        return None
+    scheme = m.group(1).lower()
+    m2 = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)", url)
+    authority = (m2.group(1) if m2 else "").lower()
+    mh = re.match(r"^([^:]*)", authority)
+    host = mh.group(1)
+    mp = re.search(r":([0-9]+)$", authority)
+    port = mp.group(1) if mp else ""
+    default = (scheme == "http" and port == "80") or (scheme == "https" and port == "443") or port == ""
+    netloc = host if default else f"{host}:{port}"
+    mpath = re.match(r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^?#]*)", url)
+    path = re.sub(r"/$", "", mpath.group(1) if mpath else "")
+    mq = re.search(r"\?([^#]*)", url)
+    query = mq.group(1) if mq else ""
+    parts = [p for p in query.split("&")
+             if p != "" and not p.split("=")[0].startswith("utm_")
+             and p.split("=")[0] not in ("fbclid", "gclid", "msclkid", "ref")]
+    cq = "&".join(sorted(parts))
+    return f"{scheme}://{netloc}{path}" + (f"?{cq}" if cq else "")
+
+
+class TestSeededFuzz:
+    def test_300_component_combinations_match_python_reference(self, spark):
+        import random
+
+        rng = random.Random(42)
+        schemes = ["http", "HTTP", "https", "HTTPS", "ftp", "Custom-1"]
+        hosts = ["Example.COM", "a.b.c.D", "localhost", "x--y.io"]
+        ports = ["", ":80", ":443", ":8080", ":1"]
+        paths = ["", "/", "/A/b", "/A/b/", "/%7Euser", "/a//b/"]
+        queries = ["", "?", "?a=1", "?b=2&a=1", "?utm_source=x", "?a=1&utm_a=2&fbclid=9",
+                   "?ref=t&z", "?a&b=", "?a=1&a=0"]
+        frags = ["", "#f", "#a=1&b=2"]
+        urls = []
+        for _ in range(300):
+            urls.append(
+                rng.choice(schemes) + "://" + rng.choice(hosts) + rng.choice(ports)
+                + rng.choice(paths) + rng.choice(queries) + rng.choice(frags)
+            )
+        got = _canon(spark, urls)
+        want = [_py_canon(u) for u in urls]
+        assert got == want
