@@ -117,6 +117,7 @@ BENCH_QUERIES_R5 = [
     "winsor_bounds",
     "dpp_event_rollup",
     "copurchase_lift",
+    "time_travel_read",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -5346,6 +5346,47 @@ def q_copurchase_lift(spark, sf_dir):
     )
 
 
+@register(
+    "time_travel_read",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS id, text, lang, source,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q_time_travel_read(spark, sf_dir):
+    """Snapshot time travel (``sources/snapshots.py``): documents
+    committed as version 1, a mutated batch (drift mutation: decile
+    dropped, lang NULLed) committed as version 2, then the query reads
+    **version 1 back from under the newer version** — the oracle reads
+    the original parquet, so the hash proves the historical read is
+    bit-exact and unaffected by later commits. Manifests are the
+    commit point (write-temp + os.replace); commit metrics ride the
+    write job via Observation."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    from .sources.snapshots import read_snapshot, write_snapshot
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"/tmp/docs_versioned_{tag}"
+    if not (_P(table) / "_snapshots" / "v2.json").exists():
+        docs = _t(spark, sf_dir, "documents")
+        write_snapshot(docs, table)
+        mutated = docs.filter(F.expr("doc_id % 10 <> 0")).select(
+            "doc_id",
+            "text",
+            F.expr("CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END").alias("lang"),
+            "source",
+            "n_chars",
+        )
+        write_snapshot(mutated, table)
+    v1 = read_snapshot(spark, table, version=1)
+    return v1.select(
+        F.col("doc_id").cast("long").alias("id"), "text", "lang", "source", _b("n_chars")
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
