@@ -118,6 +118,7 @@ BENCH_QUERIES_R5 = [
     "dpp_event_rollup",
     "copurchase_lift",
     "time_travel_read",
+    "snapshot_change_feed",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

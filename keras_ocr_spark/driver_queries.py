@@ -5387,6 +5387,69 @@ def q_time_travel_read(spark, sf_dir):
     )
 
 
+@register(
+    "snapshot_change_feed",
+    """
+    WITH v2 AS (
+        SELECT doc_id, text,
+               CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END AS lang,
+               source, n_chars
+        FROM documents WHERE doc_id % 10 <> 0
+        UNION ALL
+        SELECT doc_id + 1000000, 'new ' || text, lang, source, n_chars + 4
+        FROM documents WHERE doc_id % 100 = 0
+    )
+    SELECT CAST(coalesce(d.doc_id, v.doc_id) AS BIGINT) AS doc_id,
+           CASE WHEN v.doc_id IS NULL THEN 'delete'
+                WHEN d.doc_id IS NULL THEN 'insert'
+                ELSE 'update' END AS change
+    FROM documents d FULL JOIN v2 v ON d.doc_id = v.doc_id
+    WHERE v.doc_id IS NULL OR d.doc_id IS NULL
+       OR (d.text IS DISTINCT FROM v.text)
+       OR (d.lang IS DISTINCT FROM v.lang)
+       OR (d.source IS DISTINCT FROM v.source)
+       OR (d.n_chars IS DISTINCT FROM v.n_chars)
+    """,
+)
+def q_snapshot_change_feed(spark, sf_dir):
+    """CDC read between snapshot versions (``sources/snapshots.py:
+    snapshot_changes``): documents as v1, a mutated batch as v2 (every
+    10th doc deleted, lang NULLed on every 7th = updates, a +1M-keyed
+    insert per 100th), then the change feed v1 -> v2 — the incremental
+    consumer's alternative to re-reading the table. The digest join
+    shuffles an md5 per row, not the row (table_diff); the oracle
+    recomputes the same verbs with IS DISTINCT FROM column compares —
+    digest inequality == any-column inequality, hash-attested."""
+    import hashlib as _hl
+    from pathlib import Path as _P
+
+    from .sources.snapshots import snapshot_changes, write_snapshot
+
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    table = f"/tmp/docs_cdc_{tag}"
+    if not (_P(table) / "_snapshots" / "v2.json").exists():
+        docs = _t(spark, sf_dir, "documents")
+        write_snapshot(docs, table)
+        v2 = docs.filter(F.expr("doc_id % 10 <> 0")).select(
+            "doc_id",
+            "text",
+            F.expr("CASE WHEN doc_id % 7 = 0 THEN NULL ELSE lang END").alias("lang"),
+            "source",
+            "n_chars",
+        ).unionByName(
+            docs.filter(F.expr("doc_id % 100 = 0")).select(
+                (F.col("doc_id") + 1000000).alias("doc_id"),
+                F.concat(F.lit("new "), F.col("text")).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 4).alias("n_chars"),
+            )
+        )
+        write_snapshot(v2, table)
+    out = snapshot_changes(spark, table, 1, 2, ["doc_id"])
+    return out.select(F.col("doc_id").cast("long").alias("doc_id"), "change")
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -104,3 +104,32 @@ def read_snapshot(
             )
         chosen = byv[version]
     return spark.read.parquet(str(Path(table_dir) / chosen["path"]))
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    table_dir: str,
+    v_from: int,
+    v_to: int,
+    key_cols: list[str],
+) -> DataFrame:
+    """Change feed between two committed versions — the CDC read that
+    makes time travel ACTIONABLE: an incremental consumer processes
+    ``snapshot_changes(v_consumed, v_latest)`` instead of re-reading
+    100 TB. One full-outer digest join (``operators/merge.py:
+    table_diff`` — the shuffle carries an md5 digest per row, not the
+    row), statuses renamed to the CDC verbs: ``insert`` (key only in
+    ``v_to``), ``delete`` (only in ``v_from``), ``update`` (present in
+    both, any value column differs)."""
+    from ..operators.merge import table_diff
+    from pyspark.sql import functions as F
+
+    old = read_snapshot(spark, table_dir, v_from)
+    new = read_snapshot(spark, table_dir, v_to)
+    diff = table_diff(old, new, key_cols)
+    verb = (
+        F.when(F.col("status") == "only_left", F.lit("delete"))
+        .when(F.col("status") == "only_right", F.lit("insert"))
+        .otherwise(F.lit("update"))
+    )
+    return diff.select(*key_cols, verb.alias("change"))

@@ -81,3 +81,37 @@ class TestSnapshots:
         bad.write_text('{"version": 2, "path":')  # torn write
         assert [m["version"] for m in history(table)] == [1]
         assert read_snapshot(spark, table).count() == 3
+
+
+class TestSnapshotChanges:
+    def test_cdc_verbs(self, spark, docs, tmp_path):
+        from keras_ocr_spark.sources.snapshots import snapshot_changes
+
+        table = str(tmp_path / "cdc")
+        base = docs.limit(10).cache()
+        write_snapshot(base, table)
+        ids = sorted(r.doc_id for r in base.select("doc_id").collect())
+        kill, change = ids[0], ids[1]
+        v2 = (
+            base.filter(F.col("doc_id") != kill)
+            .withColumn(
+                "text",
+                F.when(F.col("doc_id") == change, F.lit("CHANGED")).otherwise(F.col("text")),
+            )
+            .unionByName(base.limit(1).select(
+                F.lit(999999).alias("doc_id"), *[F.col(c) for c in base.columns if c != "doc_id"]
+            ).select(base.columns))
+        )
+        write_snapshot(v2, table)
+        got = {r.doc_id: r.change for r in
+               snapshot_changes(spark, table, 1, 2, ["doc_id"]).collect()}
+        base.unpersist()
+        assert got == {kill: "delete", change: "update", 999999: "insert"}
+
+    def test_identical_versions_empty_feed(self, spark, docs, tmp_path):
+        from keras_ocr_spark.sources.snapshots import snapshot_changes
+
+        table = str(tmp_path / "cdc2")
+        write_snapshot(docs.limit(5), table)
+        write_snapshot(docs.limit(5), table)
+        assert snapshot_changes(spark, table, 1, 2, ["doc_id"]).count() == 0
