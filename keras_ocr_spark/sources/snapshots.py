@@ -133,3 +133,26 @@ def snapshot_changes(
         .otherwise(F.lit("update"))
     )
     return diff.select(*key_cols, verb.alias("change"))
+
+
+def merge_into_snapshot(
+    spark: SparkSession,
+    table_dir: str,
+    source: DataFrame,
+    key_cols: list[str],
+) -> int:
+    """The lakehouse write path: MERGE ``source`` into the LATEST
+    version (SCD1 source-wins semantics — ``operators/merge.py:
+    merge_upsert``, incl. its unique-source-key precondition) and
+    commit the result as a NEW immutable version. Readers on any older
+    version are untouched (snapshot isolation by construction — they
+    hold their own data files); the CDC feed between the old and new
+    head is exactly the merge's effect. Returns the new version."""
+    hist = history(table_dir)
+    if not hist:
+        raise ValueError(f"no committed snapshots under {table_dir}")
+    from ..operators.merge import merge_upsert
+
+    target = read_snapshot(spark, table_dir)
+    merged = merge_upsert(target, source, key_cols)
+    return write_snapshot(merged, table_dir)
