@@ -143,6 +143,37 @@ HEADLINERS = {
         "scan's own partitioning replaces at 100 TB), zero Python",
         {"exchanges": ("<=", 1), "take_ordered": ("==", 1), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
     ),
+    "tpch_q5": (
+        "6-table snowflake: dim chain folds into broadcasts, at most one "
+        "fact-fact sort-merge, zero Python",
+        {"cartesian": ("==", 0), "python_nodes": ("==", 0), "sortmerge_joins": ("<=", 1)},
+    ),
+    "dpp_event_rollup": (
+        "dynamic partition pruning: the fact scan carries a runtime "
+        "dynamicpruningexpression from the dim broadcast",
+        {"dpp": (">=", 1), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "profile_orders": (
+        "one-scan profiler: single aggregate through Expand, stack pivot — "
+        "two exchanges (multi-distinct partial + final), zero Python",
+        {"exchanges": ("<=", 2), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
+    ),
+    "skew_report_events": (
+        "skew diagnostic: map-side-combined count shuffle, TakeOrdered "
+        "top-k, totals as the one allowed 1-row-broadcast BNLJ (Reuse of "
+        "the counts exchange is AQE-final-plan, asserted in pytest)",
+        {"cartesian": ("==", 0), "bnlj": ("<=", 1), "take_ordered": ("==", 1), "python_nodes": ("==", 0)},
+    ),
+    "mad_outliers": (
+        "median/MAD from a domain-bounded cents histogram: count shuffle + "
+        "histogram-sized windows/joins, zero Python, no BNLJ",
+        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "copurchase_lift": (
+        "basket pairs: size cap BEFORE the self equi-join, TakeOrdered "
+        "top-k, n_baskets as the one allowed 1-row broadcast",
+        {"cartesian": ("==", 0), "bnlj": ("<=", 1), "take_ordered": ("==", 1), "python_nodes": ("==", 0)},
+    ),
 }
 
 
@@ -150,7 +181,7 @@ def check_bounds(f: dict, bounds: dict) -> list[str]:
     bad = []
     for key, (op, want) in bounds.items():
         got = f[key]
-        ok = got == want if op == "==" else got <= want
+        ok = got == want if op == "==" else (got >= want if op == ">=" else got <= want)
         if not ok:
             bad.append(f"{key}={got} violates {op} {want}")
     return bad
@@ -167,6 +198,7 @@ def features(plan: str) -> dict:
         "grouped_map": plan.count("FlatMapGroupsInPandas"),
         "single_partition": plan.count("SinglePartition"),
         "take_ordered": plan.count("TakeOrderedAndProject"),
+        "dpp": plan.count("dynamicpruningexpression"),
         "pushed_filters": sorted(
             {m[:100] for m in re.findall(r"PushedFilters: \[[^\]]+\]", plan) if "[]" not in m}
         ),
