@@ -156,3 +156,24 @@ def merge_into_snapshot(
     target = read_snapshot(spark, table_dir)
     merged = merge_upsert(target, source, key_cols)
     return write_snapshot(merged, table_dir)
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 2) -> list[int]:
+    """Retention: drop all but the newest ``keep_last`` versions —
+    manifests FIRST (the version disappears atomically for readers),
+    data dirs after (reclaiming the bytes). Returns the expired
+    version numbers. A reader holding an expired version's DataFrame
+    may still fail mid-scan — the same contract as Iceberg's
+    expire_snapshots: retention length IS the long-query horizon."""
+    import shutil
+
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    hist = history(table_dir)
+    drop = hist[:-keep_last] if len(hist) > keep_last else []
+    root = Path(table_dir)
+    for m in drop:
+        (root / "_snapshots" / f"v{m['version']}.json").unlink(missing_ok=True)
+    for m in drop:
+        shutil.rmtree(root / m["path"], ignore_errors=True)
+    return [m["version"] for m in drop]

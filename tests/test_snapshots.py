@@ -145,3 +145,30 @@ class TestMergeIntoSnapshot:
 
         with pytest.raises(ValueError):
             merge_into_snapshot(spark, str(tmp_path / "none"), docs.limit(1), ["doc_id"])
+
+
+class TestExpireSnapshots:
+    def test_expiry_keeps_tail_and_reclaims(self, spark, docs, tmp_path):
+        from keras_ocr_spark.sources.snapshots import expire_snapshots
+
+        table = str(tmp_path / "e")
+        for k in (2, 3, 4, 5):
+            write_snapshot(docs.limit(k), table)
+        assert expire_snapshots(table, keep_last=2) == [1, 2]
+        h = history(table)
+        assert [m["version"] for m in h] == [3, 4]
+        assert read_snapshot(spark, table).count() == 5
+        assert not (Path(table) / "data" / "v1").exists()
+        with pytest.raises(ValueError):
+            read_snapshot(spark, table, version=1)
+        # next commit continues numbering from the SURVIVING manifests
+        assert write_snapshot(docs.limit(1), table) == 5
+
+    def test_expiry_validation_and_noop(self, spark, docs, tmp_path):
+        from keras_ocr_spark.sources.snapshots import expire_snapshots
+
+        table = str(tmp_path / "e2")
+        write_snapshot(docs.limit(1), table)
+        assert expire_snapshots(table, keep_last=5) == []
+        with pytest.raises(ValueError):
+            expire_snapshots(table, keep_last=0)
