@@ -119,6 +119,7 @@ BENCH_QUERIES_R5 = [
     "copurchase_lift",
     "time_travel_read",
     "snapshot_change_feed",
+    "ols_moments_events",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

@@ -5450,6 +5450,47 @@ def q_snapshot_change_feed(spark, sf_dir):
     return out.select(F.col("doc_id").cast("long").alias("doc_id"), "change")
 
 
+@register(
+    "ols_moments_events",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(extract(hour FROM ts) AS BIGINT) AS x,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS y
+        FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+    ), m AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sum_x,
+               CAST(sum(y) AS BIGINT) AS sum_y,
+               CAST(sum(x * y) AS BIGINT) AS sum_xy,
+               CAST(sum(x * x) AS BIGINT) AS sum_x2
+        FROM b GROUP BY 1
+    )
+    SELECT event_type, n, sum_x, sum_y, sum_xy, sum_x2,
+           CAST(n * sum_xy - sum_x * sum_y AS BIGINT) AS slope_num,
+           CAST(n * sum_x2 - sum_x * sum_x AS BIGINT) AS slope_den
+    FROM m
+    """,
+)
+def q_ols_moments_events(spark, sf_dir):
+    """Grouped OLS moments (``operators/regression.py``): value-cents
+    regressed on hour-of-day per event_type via the five mergeable
+    integer moments — ONE map-side-combinable aggregate (the
+    skew-immune count shape), slope carried as exact BIGINT
+    numerator/denominator (no float anywhere, DuckDB mirror
+    hash-matched). The merge theorem (shard-merge == whole-corpus) is
+    pinned in pytest — the same contract as the HDR/HLL sketches."""
+    from .operators.regression import ols_moments
+
+    return ols_moments(
+        _t(spark, sf_dir, "events"),
+        "event_type",
+        "extract(hour from ts)",
+        "floor(value * 100 + 0.5)",
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
