@@ -120,6 +120,7 @@ BENCH_QUERIES_R5 = [
     "time_travel_read",
     "snapshot_change_feed",
     "ols_moments_events",
+    "sql_interface",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

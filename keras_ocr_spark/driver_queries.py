@@ -5491,6 +5491,41 @@ def q_ols_moments_events(spark, sf_dir):
     )
 
 
+_SQL_IFACE = """
+WITH daily AS (
+    SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+           date_format(o_orderdate, 'yyyy-MM-dd') AS day,
+           CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT) AS revenue_cents,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY 1, 2
+), ranked AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY month ORDER BY revenue_cents DESC, day
+    ) AS rn
+    FROM daily
+)
+SELECT month, day, revenue_cents, n_orders
+FROM ranked WHERE rn = 1
+"""
+
+
+@register(
+    "sql_interface",
+    _SQL_IFACE.replace("date_format(o_orderdate, 'yyyy-MM')", "strftime(o_orderdate, '%Y-%m')")
+    .replace("date_format(o_orderdate, 'yyyy-MM-dd')", "strftime(o_orderdate, '%Y-%m-%d')"),
+)
+def q_sql_interface(spark, sf_dir):
+    """SQL-first interface: the tables registered as TEMP VIEWS and the
+    whole query — CTEs, window rank, integer rendering — written as ONE
+    ``spark.sql`` string (top revenue day per month). Proves a user of
+    the reference can drive this engine with plain ANSI SQL, not just
+    the DataFrame API; Catalyst plans both identically. Only the
+    date-format function name differs from the DuckDB oracle
+    (date_format vs strftime — dialect, not semantics)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql(_SQL_IFACE.replace("FROM orders", "FROM orders_v"))
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
