@@ -121,6 +121,7 @@ BENCH_QUERIES_R5 = [
     "snapshot_change_feed",
     "ols_moments_events",
     "sql_interface",
+    "pseudonymize_events",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

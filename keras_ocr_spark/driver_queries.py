@@ -5526,6 +5526,33 @@ def q_sql_interface(spark, sf_dir):
     return spark.sql(_SQL_IFACE.replace("FROM orders", "FROM orders_v"))
 
 
+@register(
+    "pseudonymize_events",
+    """
+    SELECT CAST(event_id AS BIGINT) AS event_id,
+           substring(md5('k1:' || CAST(user_id AS VARCHAR)), 1, 16) AS user_token,
+           event_type
+    FROM events
+    """,
+)
+def q_pseudonymize_events(spark, sf_dir):
+    """Keyed pseudonymization (``operators/curation.py:pseudonymize``):
+    user_id replaced by a secret-keyed md5 token — the SAME user maps
+    to the SAME token everywhere, so joins/sessionization survive
+    tokenization while re-identification requires the secret. Map-only
+    codegen projection; the DuckDB oracle reproduces every token
+    (md5-prefix convention)."""
+    from .operators.curation import pseudonymize
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+    out = pseudonymize(ev, ["user_id"], secret="k1", token_len=16)
+    return out.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("user_id").alias("user_token"),
+        "event_type",
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -869,3 +869,44 @@ class TestSCD2:
         )
         assert plan.count("Exchange") == 1  # both window passes share it
         assert sum(1 for l in plan.splitlines() if l.strip().startswith("+- Sort") or l.strip().startswith(":- Sort") or "Sort [" in l) <= 2
+
+
+class TestPseudonymize:
+    def test_tokens_deterministic_and_join_preserving(self, spark):
+        from keras_ocr_spark.operators.curation import pseudonymize
+
+        a = spark.createDataFrame([(1, "u1"), (2, "u2"), (3, "u1")], "id long, user string")
+        b = spark.createDataFrame([("u1", "x"), ("u3", "y")], "user string, attr string")
+        ta = pseudonymize(a, ["user"], secret="s")
+        tb = pseudonymize(b, ["user"], secret="s")
+        # same value -> same token (within and across frames)
+        toks = {r.id: r.user for r in ta.collect()}
+        assert toks[1] == toks[3] != toks[2]
+        joined = ta.join(tb, "user")
+        assert joined.count() == 2  # u1 matched twice, u3 unmatched — joins survive
+        # different secret -> different token space
+        other = {r.id: r.user for r in pseudonymize(a, ["user"], secret="z").collect()}
+        assert other[1] != toks[1]
+
+    def test_null_stays_null_and_validation(self, spark):
+        import pytest as _pt
+
+        from keras_ocr_spark.operators.curation import pseudonymize
+
+        df = spark.createDataFrame([(1, None), (2, "u")], "id long, user string")
+        rows = {r.id: r.user for r in pseudonymize(df, ["user"], secret="s").collect()}
+        assert rows[1] is None and rows[2] is not None
+        with _pt.raises(ValueError):
+            pseudonymize(df, [], secret="s")
+        with _pt.raises(ValueError):
+            pseudonymize(df, ["user"], secret="")
+        with _pt.raises(ValueError):
+            pseudonymize(df, ["user"], secret="s", token_len=2)
+
+    def test_map_only_plan(self, spark):
+        from keras_ocr_spark.operators.curation import pseudonymize
+
+        df = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        out = pseudonymize(df, ["user_id"], secret="s")
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "EvalPython" not in plan
