@@ -226,6 +226,9 @@ class TestNoAccidentalCartesian:
         # 1-row broadcast of the (n_rows, n_keys) totals onto the
         # <= top_k heavy-hitter rows (same 1-row-side shape).
         "skew_report_events",
+        # 1-row broadcast of n_baskets onto the pair-count frame
+        # (same 1-row-side shape).
+        "copurchase_lift",
     }
     #: Execute a streaming job on invocation — plans inspected in their own tests.
     SKIP = {
