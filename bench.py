@@ -122,6 +122,7 @@ BENCH_QUERIES_R5 = [
     "ols_moments_events",
     "sql_interface",
     "pseudonymize_events",
+    "sentence_split",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+

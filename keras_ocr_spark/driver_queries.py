@@ -5553,6 +5553,37 @@ def q_pseudonymize_events(spark, sf_dir):
     )
 
 
+@register(
+    "sentence_split",
+    """
+    WITH t AS (
+        SELECT doc_id, regexp_extract_all(text, '[^.!?]+[.!?]?') AS s
+        FROM documents
+    ), u AS (
+        SELECT doc_id,
+               CAST(generate_subscripts(s, 1) AS BIGINT) AS sent_idx,
+               trim(unnest(s)) AS sentence
+        FROM t
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, sent_idx, sentence
+    FROM u WHERE sentence <> ''
+    """,
+)
+def q_sentence_split(spark, sf_dir):
+    """Sentence segmentation (``operators/textstats.py:
+    split_sentences``): lookbehind-free pattern (DuckDB's RE2 has no
+    lookbehind) + posexplode — map-only JVM fan-out, no Python, no
+    shuffle. Indexes count RAW pieces in both engines (filter after
+    trim), so the hash attests position semantics too. The Python
+    UDTF twin is pytest-pinned equal as the §2.10 API demo; this is
+    the hot-path form."""
+    from .operators.textstats import split_sentences
+
+    return split_sentences(_t(spark, sf_dir, "documents")).select(
+        F.col("doc_id").cast("long").alias("doc_id"), "sent_idx", "sentence"
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================

@@ -314,3 +314,33 @@ def unigram_kl_drift(
         pround(p_b, 6).alias("p_b"),
         pround(p_a * F.log(p_a / p_b), 6).alias("kl_term"),
     )
+
+
+SENTENCE_RE = "[^.!?]+[.!?]?"
+
+
+def split_sentences(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Sentence segmentation as a JVM expression pipeline:
+    ``regexp_extract_all`` with the lookbehind-free pattern
+    ``[^.!?]+[.!?]?`` (DuckDB's RE2 has no lookbehind — the pattern is
+    chosen to mean the same thing in Java regex and RE2), posexplode
+    for the 1-based sentence index, trim + drop whitespace-only
+    pieces. Returns ``{id_col}, sent_idx, sentence``.
+
+    Scale shape: map-only (scan -> regexp -> generate), no Python, no
+    shuffle — rows fan out in place. A Python UDTF twin exists in the
+    tests as the §2.10 API-surface demonstration; THIS is the hot-path
+    form (the UDTF pays an Arrow boundary for the same output,
+    asserted equal)."""
+    # idx=0 = the whole match (Spark defaults to capture group 1 and
+    # errors on a group-free pattern; DuckDB's default is already 0).
+    sents = F.expr(f"regexp_extract_all({text_col}, '{SENTENCE_RE}', 0)")
+    return (
+        df.select(F.col(id_col), F.posexplode(sents).alias("_pos", "_raw"))
+        .select(
+            id_col,
+            (F.col("_pos") + 1).cast("long").alias("sent_idx"),
+            F.trim(F.col("_raw")).alias("sentence"),
+        )
+        .filter(F.col("sentence") != "")
+    )
