@@ -5584,6 +5584,122 @@ def q_sentence_split(spark, sf_dir):
     )
 
 
+@register(
+    "resample_ffill_daily",
+    """
+    WITH daily AS (
+        SELECT CAST(user_id AS BIGINT) AS key,
+               epoch_us(ts) // 86400000000 AS day_idx,
+               floor(sum(value) * 100 + 0.5) / 100 AS day_value
+        FROM events GROUP BY 1, 2
+    ), spans AS (
+        SELECT key, min(day_idx) AS d0, max(day_idx) AS d1 FROM daily GROUP BY 1
+    ), spine AS (
+        SELECT key, unnest(range(d0, d1 + 1)) AS day_idx FROM spans
+    ), j AS (
+        SELECT s.key, s.day_idx, d.day_value
+        FROM spine s LEFT JOIN daily d ON s.key = d.key AND s.day_idx = d.day_idx
+    )
+    SELECT CAST(key AS BIGINT) AS key, CAST(day_idx AS BIGINT) AS day_idx,
+           CAST(last_value(day_value IGNORE NULLS) OVER (
+                PARTITION BY key ORDER BY day_idx
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS filled_value,
+           CAST(day_value IS NOT NULL AS BIGINT) AS has_event
+    FROM j
+    """,
+)
+def q_resample_ffill_daily(spark, sf_dir):
+    """Dense per-user daily series with forward-filled totals
+    (``operators/timeseries.py::resample_ffill_daily``): sequence +
+    explode spine over each user's OBSERVED day span, left join, and
+    ``last(ignorenulls=True)`` carry-forward — the scale-out
+    alternative to a "latest value at or before t" range self-join.
+    Day indexes are exact integer ``div`` of epoch micros (floats
+    cannot hold epoch micros). Every shuffle is keyed by user or
+    (user, day); the spine fan-out is data-bounded."""
+    from .operators.timeseries import resample_ffill_daily
+
+    return resample_ffill_daily(_t(spark, sf_dir, "events"))
+
+
+@register(
+    "max_concurrency_events",
+    """
+    WITH pts AS (
+        SELECT event_type, epoch_us(ts) AS us, 1 AS delta,
+               CAST(event_id AS BIGINT) AS eid FROM events
+        UNION ALL
+        SELECT event_type, epoch_us(ts) + 600000000 AS us, -1 AS delta,
+               CAST(event_id AS BIGINT) AS eid FROM events
+    ), sweep AS (
+        SELECT event_type, us,
+               sum(delta) OVER (PARTITION BY event_type ORDER BY us, delta, eid
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS cum
+        FROM pts
+    ), m AS (
+        SELECT *, max(cum) OVER (PARTITION BY event_type) AS mx FROM sweep
+    )
+    SELECT event_type, CAST(max(cum) AS BIGINT) AS max_concurrent,
+           CAST(count(*) / 2 AS BIGINT) AS n_intervals,
+           CAST(min(CASE WHEN cum = mx THEN us END) AS BIGINT) AS peak_us
+    FROM m GROUP BY event_type
+    """,
+)
+def q_max_concurrency_events(spark, sf_dir):
+    """Sweep-line peak concurrency per event type over end-exclusive
+    10-minute intervals (``operators/timeseries.py::
+    sweep_max_concurrency``). The Spark side runs the SKEW-HARDENED
+    bucketed prefix sum (per-(type, hour-bucket) local running sums +
+    broadcast bucket offsets — a hot type parallelizes across its time
+    buckets); the oracle stays the naive partition-less ``SUM OVER``,
+    so the hash-match pins the bucketed form's exact equivalence.
+    ``peak_us`` is the earliest instant the peak is attained."""
+    from .operators.timeseries import sweep_max_concurrency
+
+    return sweep_max_concurrency(_t(spark, sf_dir, "events")).select(
+        F.col("grp").alias("event_type"),
+        "max_concurrent",
+        "n_intervals",
+        "peak_us",
+    )
+
+
+@register(
+    "unpivot_brand_metrics",
+    """
+    WITH a AS (
+        SELECT p_brand,
+               CAST(floor(sum(p_retailprice) * 100 + 0.5) / 100 AS DOUBLE) AS total_retail,
+               CAST(floor(avg(p_size) * 1000000 + 0.5) / 1000000 AS DOUBLE) AS avg_size,
+               CAST(count(*) AS DOUBLE) AS n_parts
+        FROM part GROUP BY p_brand
+    )
+    SELECT p_brand, 'total_retail' AS metric, total_retail AS value FROM a
+    UNION ALL SELECT p_brand, 'avg_size' AS metric, avg_size AS value FROM a
+    UNION ALL SELECT p_brand, 'n_parts' AS metric, n_parts AS value FROM a
+    """,
+)
+def q_unpivot_brand_metrics(spark, sf_dir):
+    """Wide→long reshape via the native ``DataFrame.unpivot`` (UNPIVOT/
+    MELT) — the one relational surface the registry lacked. Per-brand
+    aggregates are unpivoted into ``(p_brand, metric, value)``; the
+    oracle is the engine-portable UNION ALL form, pinning Spark's
+    unpivot value/name semantics. Unpivot is a zero-shuffle Expand
+    (3× the already-aggregated frame), so the only exchange is the
+    groupBy."""
+    part = _t(spark, sf_dir, "part")
+    agg = part.groupBy("p_brand").agg(
+        pround(F.sum("p_retailprice"), 2).alias("total_retail"),
+        pround(F.avg("p_size"), 6).alias("avg_size"),
+        F.count(F.lit(1)).cast("double").alias("n_parts"),
+    )
+    return agg.unpivot(
+        ["p_brand"], ["total_retail", "avg_size", "n_parts"], "metric", "value"
+    )
+
+
 # ==========================================================================
 # Driver-window ordering
 # ==========================================================================
