@@ -123,6 +123,9 @@ BENCH_QUERIES_R5 = [
     "sql_interface",
     "pseudonymize_events",
     "sentence_split",
+    "resample_ffill_daily",
+    "max_concurrency_events",
+    "unpivot_brand_metrics",
 ]
 
 #: Per-query repetitions; min wall is reported. This box shows 3x+
