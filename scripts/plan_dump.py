@@ -174,6 +174,23 @@ HEADLINERS = {
         "top-k, n_baskets as the one allowed 1-row broadcast",
         {"cartesian": ("==", 0), "bnlj": ("<=", 1), "take_ordered": ("==", 1), "python_nodes": ("==", 0)},
     ),
+    "resample_ffill_daily": (
+        "dense spine + forward fill: sequence/explode bounded by each "
+        "key's span, left equi-join, key-partitioned carry window — "
+        "every shuffle keyed by user/(user,day), zero Python",
+        {"single_partition": ("==", 0), "cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "max_concurrency_events": (
+        "sweep-line concurrency: skew-hardened bucketed running sum — "
+        "local sums per (group, time-bucket) + broadcast bucket offsets; "
+        "a hot group parallelizes across buckets, no SinglePartition",
+        {"single_partition": ("==", 0), "cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+    ),
+    "unpivot_brand_metrics": (
+        "wide-to-long unpivot: zero-shuffle Expand over the aggregated "
+        "frame — the only exchange is the groupBy's own",
+        {"exchanges": ("<=", 1), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
+    ),
 }
 
 
