@@ -63,6 +63,31 @@ def shingle_docs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", 
     )
 
 
+def shingle_docs_arrow(df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 3) -> DataFrame:
+    """Arrow-vectorized twin of :func:`shingle_docs` — identical rows
+    (pinned in tests), ~20x cheaper per doc: ``shingles_expr``'s
+    interpreted higher-order chain (transform + slice + concat_ws +
+    array_distinct, no whole-stage codegen) costs ~100us/doc, which
+    dominates any plan that shingles the corpus; the Python kernel
+    crosses the boundary once with only (id, text) and joins k-grams
+    with plain str.join. Used by the prefix-filter dedup paths; plans
+    that must stay zero-Python keep :func:`shingle_docs`."""
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            ws = t.split(" ")
+            if len(ws) < k:
+                return []
+            return list(dict.fromkeys(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)))
+
+        return texts.map(one)
+
+    return df.select(F.col(id_col).alias("id"), F.explode(_sh(F.col(text_col))).alias("shingle"))
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.5,
@@ -98,7 +123,7 @@ def ngram_jaccard_pairs(
     )
 
 
-def containment_pairs(
+def containment_pairs_naive(
     df: DataFrame,
     threshold: float = 0.8,
     id_col: str = "doc_id",
@@ -106,26 +131,11 @@ def containment_pairs(
     k: int = 3,
     max_shingle_df: int | None = None,
 ) -> DataFrame:
-    """All pairs (a < b) with shingle CONTAINMENT >= threshold, where
-    containment = |A ∩ B| / min(|A|, |B|) — the asymmetric-overlap
-    signal Jaccard systematically misses: a short doc quoted wholesale
-    inside a much longer one has Jaccard ≈ |A|/|B| (tiny) but
-    containment ≈ 1. The standard dedup battery runs BOTH (Jaccard for
-    same-size near-dups, containment for inclusion/quoting); exact
-    substring-span dedup (:func:`substring_dup_stats`) then excises
-    what containment flags.
-
-    Same plan shape as :func:`ngram_jaccard_pairs`: one shingle
-    equi-join (set semantics — shingle_docs emits distinct shingles),
-    two size joins, per-pair agg. Deliberately NOT LSH-seeded:
-    MinHash-band candidate recall is a function of Jaccard, so exactly
-    the high-containment/low-Jaccard pairs this operator exists for
-    would be the ones LSH drops. ``max_shingle_df`` is the hot-key
-    guard at scale (boilerplate shingles), same contract as
-    ngram_jaccard_pairs.
-
-    Output: (id_a, id_b, n_a, n_b, containment).
-    """
+    """Reference (unpruned) containment join: the full inverted-index
+    self-join. Kept as the equivalence oracle for
+    :func:`containment_pairs` — a shingle with document frequency f
+    contributes O(f²) join rows here, so this form is NOT the one to
+    run at scale. Same output contract as :func:`containment_pairs`."""
     sh = shingle_docs(df, id_col, text_col, k)
     if max_shingle_df is not None:
         hot = sh.groupBy("shingle").count().filter(F.col("count") > max_shingle_df).select("shingle")
@@ -150,6 +160,122 @@ def containment_pairs(
             F.col("n_b").cast("long").alias("n_b"),
             pround(F.col("containment"), 6).alias("containment"),
         )
+    )
+
+
+def _rarity_coded_docs(sh: DataFrame, max_shingle_df: int | None = None) -> DataFrame:
+    """(id, codes, n): each doc's distinct shingles as a SORTED int
+    array, dictionary-encoded by global rarity (corpus df ASC, shingle
+    ASC — the prefix-filter order). One vocab-sized agg + one narrow
+    groupBy(id) shuffle; the exploded shingle frame is scanned twice
+    (vocab agg + probe), both map-only.
+
+    The dense rank runs as a window over the VOCAB frame (distinct
+    shingles), not the corpus — it is broadcast to the probe join, so
+    this fast path assumes the shingle vocabulary fits an executor
+    (true for bounded-vocab corpora; the bench corpus has ~28k distinct
+    shingles). At open-vocabulary 100 TB scale swap the broadcast for a
+    shuffle join on shingle and assign codes with the distributed
+    exact-rank device (operators/ranking.py) — the downstream prefix
+    join is unchanged.
+    """
+    vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    if max_shingle_df is not None:
+        vocab = vocab.filter(F.col("_df") <= max_shingle_df)
+    vocab = vocab.select(
+        "shingle", F.row_number().over(W.orderBy("_df", "shingle")).alias("_code")
+    )
+    coded = (
+        sh.join(F.broadcast(vocab), "shingle")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("_code")).alias("codes"))
+    )
+    return coded.select("id", "codes", F.size("codes").alias("n"))
+
+
+def containment_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs (a < b) with shingle CONTAINMENT >= threshold, where
+    containment = |A ∩ B| / min(|A|, |B|) — the asymmetric-overlap
+    signal Jaccard systematically misses: a short doc quoted wholesale
+    inside a much longer one has Jaccard ≈ |A|/|B| (tiny) but
+    containment ≈ 1. Deliberately NOT LSH-seeded: MinHash-band
+    candidate recall is a function of Jaccard, so exactly the
+    high-containment/low-Jaccard pairs this operator exists for would
+    be the ones LSH drops. ``max_shingle_df`` drops shingles above that
+    corpus df before anything else (same contract as
+    :func:`ngram_jaccard_pairs`).
+
+    EXACT result via PREFIX FILTERING in its overlap-join form (the
+    PPJoin family bound for overlap >= ceil(t*min(|A|,|B|))): under the
+    global rarity order, a qualifying pair's rarest common shingle must
+    sit within the SMALLER side's prefix of length n - ceil(t*n) + 1
+    AND within the larger side's first n_l - ceil(t*n_s) + 1 positions
+    — so only prefix rows of the smaller side are joined against the
+    (position-bounded) full rows, never full x full. A shingle with
+    document frequency f contributes prefix_df(f) * f join rows instead
+    of f², and hot shingles sort to the END of the order, out of every
+    prefix — the hot-key guard is structural, not a cap. Candidates are
+    verified with a per-pair ``array_intersect`` over the docs'
+    dictionary-coded shingle arrays (attached by a broadcast of the
+    ~0.2 KB/doc signature frame; at billions of docs drop the hint and
+    let it run as a narrow equi-join), so the corpus text is never
+    re-shingled per candidate. Result set identical to
+    :func:`containment_pairs_naive` (pinned in tests + the driver
+    oracle).
+
+    Output: (id_a, id_b, n_a, n_b, containment).
+    """
+    sh = shingle_docs_arrow(df, id_col, text_col, k).localCheckpoint(eager=False)
+    coded = _rarity_coded_docs(sh, max_shingle_df).localCheckpoint(eager=False)
+    t = F.lit(float(threshold))
+    plen = F.greatest(F.col("n") - F.ceil(t * F.col("n")) + F.lit(1), F.lit(0))
+    small = coded.select(
+        F.col("id").alias("id_s"),
+        F.col("n").alias("n_s"),
+        F.explode(F.slice("codes", F.lit(1), plen)).alias("code"),
+    )
+    large = coded.select(
+        F.col("id").alias("id_l"),
+        F.col("n").alias("n_l"),
+        F.posexplode("codes").alias("_pos0", "code"),
+    )
+    cands = (
+        small.join(large, "code")
+        .filter(
+            (F.col("n_s") < F.col("n_l"))
+            | ((F.col("n_s") == F.col("n_l")) & (F.col("id_s") < F.col("id_l")))
+        )
+        # positional bound: overlap <= n_l - pos_l + 1 must reach
+        # ceil(t * n_s); the rarest common shingle's row satisfies it.
+        .filter(F.col("_pos0") <= F.col("n_l") - F.ceil(t * F.col("n_s")))
+        .select(
+            F.least("id_s", "id_l").alias("id_a"),
+            F.greatest("id_s", "id_l").alias("id_b"),
+        )
+    )
+    ca = coded.select(F.col("id").alias("id_a"), F.col("codes").alias("_ca"), F.col("n").alias("_na"))
+    cb = coded.select(F.col("id").alias("id_b"), F.col("codes").alias("_cb"), F.col("n").alias("_nb"))
+    return (
+        cands.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_ca", "_cb")))
+        .withColumn("containment", F.col("n_common") / F.least("_na", "_nb"))
+        .filter(F.col("containment") >= threshold)
+        .select(
+            "id_a",
+            "id_b",
+            F.col("_na").cast("long").alias("n_a"),
+            F.col("_nb").cast("long").alias("n_b"),
+            pround(F.col("containment"), 6).alias("containment"),
+        )
+        .distinct()
     )
 
 
@@ -186,41 +312,56 @@ def prefix_filter_jaccard_pairs(
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
-    sh = shingle_docs(df, id_col, text_col, k)
-    # Corpus frequency as a COUNT WINDOW over the shingle key — one
-    # exchange on shingle, where a groupBy+join would shuffle the
-    # shingle frame twice (agg input + join probe).
-    ranked = sh.withColumn("_df", F.count(F.lit(1)).over(W.partitionBy("shingle")))
-    wn = W.partitionBy("id")
-    ranked = ranked.withColumn(
-        "_p", F.row_number().over(wn.orderBy("_df", "shingle"))
-    ).withColumn("_n", F.count(F.lit(1)).over(wn))
-    prefix = ranked.filter(
-        F.col("_p") <= F.col("_n") - F.ceil(F.lit(threshold) * F.col("_n")) + F.lit(1)
-    ).select("id", "shingle", "_n")
-    # The prefix frame is SELF-JOINED below; without a lineage cut
-    # Catalyst plans the two-exchange ranking subplan twice (the same
-    # duplicated-subplan trap pinned in tests/test_plan_shape.py for
-    # pandas-UDF projections). The prefix is the ~30% slice — cheap to
-    # hold; `sh` itself is recomputed map-only for verification.
-    prefix = prefix.localCheckpoint(eager=False)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cands = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .filter(
-            (F.col("a._n") >= F.ceil(F.lit(threshold) * F.col("b._n")))
-            & (F.col("b._n") >= F.ceil(F.lit(threshold) * F.col("a._n")))
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
+    sh = shingle_docs_arrow(df, id_col, text_col, k).localCheckpoint(eager=False)
+    # Dictionary-code the shingles by global rarity once
+    # (:func:`_rarity_coded_docs`) and cut lineage: prefixes, the
+    # self-join, and verification all derive from the one narrow
+    # (id, codes, n) frame instead of re-planning the two-exchange
+    # ranking subtree per branch (the duplicated-subplan trap pinned in
+    # tests/test_plan_shape.py). Candidates then join on INT codes, and
+    # verification is a per-pair ``array_intersect`` over the coded
+    # arrays (broadcast ~0.2 KB/doc signature frame) — the corpus text
+    # is shingled exactly twice (vocab agg + probe), map-only, instead
+    # of five times in the join-the-exploded-shingles form.
+    coded = _rarity_coded_docs(sh).localCheckpoint(eager=False)
+    t = F.lit(float(threshold))
+    plen = F.greatest(F.col("n") - F.ceil(t * F.col("n")) + F.lit(1), F.lit(0))
+    prefix = coded.select(
+        "id", "n", F.posexplode(F.slice("codes", F.lit(1), plen)).alias("_pos0", "code")
     )
-    return verify_jaccard(
-        cands,
-        sh.withColumnRenamed("id", "id_a"),
-        sh.withColumnRenamed("id", "id_b"),
-        "id_a",
-        "id_b",
-        threshold,
+    a = prefix.select(
+        F.col("id").alias("id_a"), F.col("n").alias("na"), F.col("_pos0").alias("_pa"), "code"
+    )
+    b = prefix.select(
+        F.col("id").alias("id_b"), F.col("n").alias("nb"), F.col("_pos0").alias("_pb"), "code"
+    )
+    cands = (
+        a.join(b, "code")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .filter(
+            (F.col("na") >= F.ceil(t * F.col("nb")))
+            & (F.col("nb") >= F.ceil(t * F.col("na")))
+        )
+        # positional bound: past this collision the overlap can reach at
+        # most min(na - pa, nb - pb) + 1, and a qualifying pair needs
+        # overlap >= t*max(na, nb); the rarest common shingle's row
+        # satisfies the bound, so no qualifying pair is lost.
+        .filter(
+            F.least(F.col("na") - F.col("_pa"), F.col("nb") - F.col("_pb"))
+            >= F.ceil(t * F.greatest("na", "nb"))
+        )
+        .select("id_a", "id_b")
+    )
+    ca = coded.select(F.col("id").alias("id_a"), F.col("codes").alias("_ca"), F.col("n").alias("_na"))
+    cb = coded.select(F.col("id").alias("id_b"), F.col("codes").alias("_cb"), F.col("n").alias("_nb"))
+    return (
+        cands.join(F.broadcast(ca), "id_a")
+        .join(F.broadcast(cb), "id_b")
+        .withColumn("n_common", F.size(F.array_intersect("_ca", "_cb")))
+        .withColumn("jaccard", F.col("n_common") / (F.col("_na") + F.col("_nb") - F.col("n_common")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", pround(F.col("jaccard"), 6).alias("jaccard"))
+        .distinct()
     )
 
 

@@ -89,9 +89,12 @@ HEADLINERS = {
         {"cartesian": ("==", 0), "python_nodes": ("==", 0), "bnlj": ("<=", 1)},
     ),
     "dedup_containment": (
-        "containment pairs: exact shingle equi-join (not LSH-seeded by "
-        "design); no cartesian/BNLJ, zero Python",
-        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("==", 0)},
+        "containment pairs (not LSH-seeded by design): EXACT result via "
+        "prefix-filtered overlap join on dictionary codes — smaller side's "
+        "rarity prefix vs position-bounded full side, never full x full; "
+        "one ArrowEvalPython (shingle kernel, materialized once); "
+        "array_intersect verification on broadcast code arrays",
+        {"cartesian": ("==", 0), "bnlj": ("==", 0), "python_nodes": ("<=", 1)},
     ),
     "quality_percentile_gate": (
         "adaptive quality gate: skew-safe exact rank on (lang, "
