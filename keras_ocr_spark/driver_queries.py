@@ -1573,18 +1573,28 @@ def q_curate_corpus(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
-    split = leakage_safe_split(docs, pairs, id_col="doc_id")
+    # Lazy lineage cuts at the narrow waists (split / surv / gated are
+    # one short row per doc): the pipeline fans each of them out to 2+
+    # consumers, and without the cut Catalyst re-plans — and the
+    # executor re-RUNS — the entire upstream chain (LSH pairs + closure
+    # + quality + substring gate) once per consumer; the r5 plan was
+    # 234 KB of duplicated subtrees and evaluated the dedup twice.
+    split = leakage_safe_split(docs, pairs, id_col="doc_id").localCheckpoint(eager=False)
     keepers = split.filter(F.col("id") == F.col("keeper_id"))
-    quality = TS.quality_scores(docs).select("id", "quality")
-    tokens = TS.token_counts(docs).select("id", "n_bpe_tokens")
-    surv = keepers.join(quality, "id").join(tokens, "id").filter(F.col("quality") >= 0.5)
+    # quality + n_bpe_tokens fused into ONE map-only projection (r6):
+    # quality_scores ⋈ token_counts computed the same values through a
+    # second scan plus a join exchange of both corpus-sized sides.
+    feats = TS.curation_features(docs)
+    surv = (
+        keepers.join(feats, "id").filter(F.col("quality") >= 0.5)
+    ).localCheckpoint(eager=False)
     surv_docs = docs.join(surv.select(F.col("id").alias("doc_id")), "doc_id")
     subs = D.substring_dup_stats(surv_docs, k=5).select("id", "dup_frac")
     gated = (
         surv.join(subs, "id")
         .filter((F.col("dup_frac") <= 0.5) & (F.col("split") == "train"))
         .select("id", "n_bpe_tokens", "quality", "dup_frac")
-    )
+    ).localCheckpoint(eager=False)
     lang = docs.select(F.col("doc_id").alias("id"), "lang")
     mixed = token_budget_mix(
         gated.join(lang, "id"),

@@ -586,7 +586,12 @@ def minhash_dedup_pairs(
     guard); pass ``max_bucket_size=None`` for exhaustive recall work."""
     sigs = minhash_signatures(df, n_hashes, id_col, text_col, k)
     cands = lsh_candidate_pairs(sigs, n_bands, n_hashes // n_bands, max_bucket_size=max_bucket_size)
-    sh = shingle_docs(df, id_col, text_col, k)
+    # ONE shingle evaluation for all four verification consumers (two
+    # join probes + two size aggs): the Arrow kernel replaces the
+    # interpreted higher-order explode (~100us/doc) and the lazy
+    # localCheckpoint stops Catalyst re-planning the shingle subtree
+    # per consumer — verification previously re-shingled the corpus 4x.
+    sh = shingle_docs_arrow(df, id_col, text_col, k).localCheckpoint(eager=False)
     return verify_jaccard(
         cands,
         sh.withColumnRenamed("id", "id_a"),
@@ -792,6 +797,106 @@ def incremental_dedup_pairs(
 
 
 def substring_dup_stats(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """EXACT substring-span dedup stats — Arrow-kernel fast path.
+
+    Same rows as :func:`substring_dup_stats_sql` (pinned in tests):
+    the r5 pure-expression form spent its wall on two interpreted
+    higher-order chains — md5(concat_ws(slice)) per gram position, and
+    the O(n_words x n_spans) exists/filter span-coverage algebra —
+    which cost ~15s at sf1.0 the moment a consumer actually reads
+    ``dup_frac``/``clean_text`` (the curation pipeline does; a bare
+    count() prunes it all away, which is why the standalone bench line
+    never showed it). Here gram digests come from one pandas UDF
+    (hashlib.md5, bit-identical to F.md5/DuckDB md5) and the span
+    union + text rebuild from a second struct-returning pandas UDF;
+    the corpus-wide duplicated-digest count and the per-doc start-list
+    join keep the exact same one-count-shuffle shape. Positions, not
+    text, still ride the joins.
+
+    Output: (id, n_words, dup_words, dup_frac, clean_text).
+    """
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _grams(texts: pd.Series) -> pd.Series:
+        md5 = hashlib.md5
+
+        def one(t):
+            if t is None:
+                return []
+            ws = t.split(" ")
+            if len(ws) < k:
+                return []
+            return [md5(" ".join(ws[i : i + k]).encode()).hexdigest() for i in range(len(ws) - k + 1)]
+
+        return texts.map(one)
+
+    @F.pandas_udf("n_words long, dup_words long, clean_text string")
+    def _span_stats(texts: pd.Series, starts: pd.Series) -> pd.DataFrame:
+        n_out, dup_out, clean_out = [], [], []
+        for t, ds in zip(texts, starts):
+            if t is None:
+                # matches the expression form: size(NULL words) is NULL,
+                # dup_words falls through to 0, clean_text to ''.
+                n_out.append(None)
+                dup_out.append(0)
+                clean_out.append("")
+                continue
+            ws = t.split(" ")
+            n = len(ws)
+            if ds is None or len(ds) == 0:
+                n_out.append(n)
+                dup_out.append(0)
+                clean_out.append(t)
+                continue
+            cover = bytearray(n)
+            for d in ds:  # 1-based span start covers words d..d+k-1
+                lo = d - 1
+                hi = min(n, lo + k)
+                if lo < n:
+                    cover[lo:hi] = b"\x01" * (hi - lo)
+            dup = sum(cover)
+            n_out.append(n)
+            dup_out.append(dup)
+            clean_out.append(" ".join(w for w, c in zip(ws, cover) if not c))
+        return pd.DataFrame({"n_words": n_out, "dup_words": dup_out, "clean_text": clean_out})
+
+    g = df.select(F.col(id_col).alias("id"), F.posexplode(_grams(F.col(text_col))).alias("pos0", "h")).select(
+        "id", (F.col("pos0") + 1).alias("pos"), "h"
+    )
+    dup_h = g.groupBy("h").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") > 1).select("h")
+    starts = (
+        g.join(dup_h, "h")
+        .groupBy("id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("dup_starts"))
+    )
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+    joined = base.join(starts, "id", "left").select(
+        "id", _span_stats(F.col("_t"), F.col("dup_starts")).alias("_s")
+    )
+    n_words = F.col("_s.n_words")
+    dup_words = F.col("_s.dup_words")
+    return joined.select(
+        "id",
+        n_words.cast("long").alias("n_words"),
+        F.when(n_words > 0, dup_words).otherwise(F.lit(0)).cast("long").alias("dup_words"),
+        F.when(
+            n_words > 0,
+            F.floor(dup_words.cast("double") / n_words.cast("double") * 1000000 + F.lit(0.5))
+            / 1000000,
+        )
+        .otherwise(F.lit(0.0))
+        .cast("double")
+        .alias("dup_frac"),
+        F.col("_s.clean_text").alias("clean_text"),
+    )
+
+
+def substring_dup_stats_sql(
     df: DataFrame,
     k: int = 5,
     id_col: str = "doc_id",

@@ -64,17 +64,35 @@ def profile_table(
     if missing:
         raise ValueError(f"unknown columns: {missing}")
     n_distinct = F.approx_count_distinct if approx_distinct else F.count_distinct
+    # min/max over STRING columns put a variable-length field in the
+    # aggregation buffer, which disqualifies HashAggregate — Spark then
+    # plans the WHOLE aggregate (including the Expand-replicated
+    # multi-distinct rows) as SortAggregate, sorting ~(1 + n_cols) x
+    # n_rows rows at both partial and merge stages. On the EXACT path
+    # the string min/max therefore move to their own grouping-free
+    # aggregate (no keys, no Expand — nothing to sort) whose 1-row
+    # result is attached with the standard 1-row broadcast; every
+    # row-volume aggregate then stays hash-based at the cost of one
+    # extra column-pruned scan of just the string columns. The HLL path
+    # keeps its contract (ONE scan, no Expand, <=2 exchanges — the
+    # wide-table trade documented above) and tolerates the sort.
     aggs = [F.count(F.lit(1)).alias("_n")]
+    str_aggs = []
     for i, c in enumerate(cols):
         col = F.col(c)
         render = _renderers(dtypes[c])
         aggs += [
             F.count(col).alias(f"_nn{i}"),
             n_distinct(col).alias(f"_nd{i}"),
+        ]
+        target = str_aggs if dtypes[c] == "string" and not approx_distinct else aggs
+        target += [
             render(F.min(col)).alias(f"_mi{i}"),
             render(F.max(col)).alias(f"_ma{i}"),
         ]
     one = df.agg(*aggs)
+    if str_aggs:
+        one = one.crossJoin(F.broadcast(df.agg(*str_aggs)))
     stacked = ", ".join(f"'{c}', _nn{i}, _nd{i}, _mi{i}, _ma{i}" for i, c in enumerate(cols))
     return one.select(
         "_n",

@@ -52,10 +52,32 @@ def lang_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
 
 
 def sum_markers(words: Column, markers: list) -> Column:
-    total = F.lit(0)
-    for m in markers:
-        total = total + _count_word(words, m)
-    return total
+    # One membership-filter pass instead of one interpreted filter PER
+    # marker (higher-order functions evaluate per element with no
+    # codegen, so M markers cost M full passes over the words array):
+    # each word matches at most one marker, so counting words in the
+    # marker set equals the sum of per-marker counts exactly.
+    if not markers:
+        return F.lit(0)
+    return F.size(F.filter(words, lambda w: w.isin(*markers)))
+
+
+def _quality_expr(text: Column) -> Column:
+    """The blended 0..1 quality score (long enough, some stopwords, not
+    punctuation-soup) as a raw column expression — shared by
+    :func:`quality_scores` and :func:`curation_features`."""
+    words = words_expr(text)
+    n_chars = F.length(text)
+    n_words = F.size(words)
+    stop_hits = sum_markers(words, LANG_MARKERS["en"])
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9 ]"), 0))
+    stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
+    return (
+        F.least(n_words / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
 
 
 def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -70,12 +92,6 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
     avg_word_len = F.when(n_words > 0, n_chars / n_words).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_words > 0, stop_hits / n_words).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, n_punct / n_chars).otherwise(F.lit(0.0))
-    # Blend: long enough, some stopwords, not punctuation-soup.
-    quality = (
-        F.least(n_words / F.lit(50.0), F.lit(1.0)) * F.lit(0.4)
-        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
-        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
-    )
     return df.select(
         F.col(id_col).alias("id"),
         n_chars.alias("n_chars"),
@@ -83,7 +99,23 @@ def quality_scores(df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
         pround(avg_word_len, 6).alias("avg_word_len"),
         pround(stop_ratio, 6).alias("stop_ratio"),
         pround(punct_ratio, 6).alias("punct_ratio"),
-        pround(quality, 6).alias("quality"),
+        pround(_quality_expr(text), 6).alias("quality"),
+    )
+
+
+def curation_features(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, quality, n_bpe_tokens) in ONE map-only projection — exactly
+    the two gate inputs the curation pipeline consumes. Composing
+    ``quality_scores(df) JOIN token_counts(df)`` computes the same
+    values but costs a second scan plus a join exchange of both
+    corpus-sized sides for what is a single per-row expression; the
+    values are identical by construction (same ``_quality_expr`` /
+    ``TOKEN_PATTERN`` exprs, pinned in tests)."""
+    text = F.col(text_col)
+    return df.select(
+        F.col(id_col).alias("id"),
+        pround(_quality_expr(text), 6).alias("quality"),
+        F.size(F.regexp_extract_all(text, F.lit(TOKEN_PATTERN), 0)).alias("n_bpe_tokens"),
     )
 
 

@@ -73,9 +73,12 @@ HEADLINERS = {
         {"python_nodes": ("==", 0), "cartesian": ("==", 0), "bnlj": ("==", 0)},
     ),
     "dedup_substring": (
-        "substring-span dedup: gram-digest count + per-doc start lists; "
-        "span union is per-row array algebra, zero Python",
-        {"python_nodes": ("==", 0), "cartesian": ("==", 0), "bnlj": ("==", 0)},
+        "substring-span dedup: gram digests + span union/text rebuild as "
+        "two Arrow kernels (r6 — the interpreted per-gram md5 chain and "
+        "the O(words x spans) coverage algebra cost ~15s at sf1.0 when "
+        "consumed; zero-Python twin kept as substring_dup_stats_sql); "
+        "same one-count-shuffle shape, positions not text ride the joins",
+        {"python_nodes": ("<=", 2), "cartesian": ("==", 0), "bnlj": ("==", 0)},
     ),
     "token_budget_mix": (
         "skew-hardened mix (r5): running sum windows on (lang, md5-prefix "
@@ -157,9 +160,13 @@ HEADLINERS = {
         {"dpp": (">=", 1), "cartesian": ("==", 0), "python_nodes": ("==", 0)},
     ),
     "profile_orders": (
-        "one-scan profiler: single aggregate through Expand, stack pivot — "
-        "two exchanges (multi-distinct partial + final), zero Python",
-        {"exchanges": ("<=", 2), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
+        "profiler: row-volume aggregate (counts + exact distincts through "
+        "Expand) all HASH-based off one scan; string min/max split to a "
+        "sortless grouping-free aggregate on a pruned string-only scan, "
+        "attached as the 1-row broadcast (r6: string agg buffers forced "
+        "the whole Expand aggregate to SortAggregate) — three exchanges "
+        "(multi-distinct partial + final + the 1-row string agg), no Sort",
+        {"exchanges": ("<=", 3), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
     ),
     "skew_report_events": (
         "skew diagnostic: map-side-combined count shuffle, TakeOrdered "

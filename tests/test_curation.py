@@ -552,6 +552,41 @@ class TestSubstringDedup:
         r = D.substring_dup_stats(docs, k=5).collect()[0]
         assert r["dup_words"] == 10 and r["clean_text"] == "z"
 
+    def test_arrow_kernel_equals_sql_twin(self, spark):
+        """The r6 Arrow-kernel fast path must return EXACTLY the
+        pure-expression form's rows — gram digests, span unions,
+        rebuilt text, nulls, multi-space round-trips, everything."""
+        import random
+
+        from keras_ocr_spark.operators import dedup as D
+
+        rnd = random.Random(17)
+        vocab = [f"w{i}" for i in range(30)]
+        rows = [(0, None), (1, ""), (2, "one  two   three"), (3, "a b")]
+        nid = 4
+        for _ in range(40):
+            rows.append((nid, " ".join(rnd.choice(vocab) for _ in range(rnd.randrange(1, 40)))))
+            nid += 1
+        # planted substring dups across and within docs
+        core = " ".join(rnd.choice(vocab) for _ in range(8))
+        rows.append((nid, f"x y {core} z"))
+        rows.append((nid + 1, f"{core} tail tail {core}"))
+        docs = spark.createDataFrame(rows, "doc_id long, text string")
+        fast = sorted(tuple(r) for r in D.substring_dup_stats(docs, k=5).collect())
+        slow = sorted(tuple(r) for r in D.substring_dup_stats_sql(docs, k=5).collect())
+        assert fast == slow
+
+
+class TestCurationFeatures:
+    def test_matches_quality_join_tokens(self, spark):
+        from keras_ocr_spark.operators import textstats as TS
+
+        docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        fused = {r.id: (r.quality, r.n_bpe_tokens) for r in TS.curation_features(docs).collect()}
+        q = {r.id: r.quality for r in TS.quality_scores(docs).collect()}
+        t = {r.id: r.n_bpe_tokens for r in TS.token_counts(docs).collect()}
+        assert fused == {i: (q[i], t[i]) for i in q}
+
 
 class TestTokenBudgetMix:
     def test_budget_respected_and_deterministic(self, spark):

@@ -208,6 +208,12 @@ class TestNoAccidentalCartesian:
         # single-row broadcast of the corpus stats (N, avgdl, dfs) —
         # the same 1-row-side BNLJ design as the ANN queries.
         "bm25_search",
+        # r6: string min/max split into a grouping-free 1-row aggregate
+        # attached by a 1-row broadcast, so the Expand multi-distinct
+        # aggregate stays hash-based (string agg buffers forced the
+        # whole aggregate to SortAggregate).
+        "profile_orders",
+        "profile_drift_documents",
         # 1-row broadcast of the unigram grand total onto the
         # vocabulary-sized frequency table (both tiny).
         "unigram_logprob",

@@ -42,9 +42,14 @@ class TestProfile:
         )
         assert (out["dt"].min_repr, out["dt"].max_repr) == ("2024-01-01", "2024-02-02")
 
-    def test_single_scan(self, spark, frame, tmp_path):
-        # One parquet scan feeds every column's stats (the point of the
-        # operator): exactly one FileScan node in the plan.
+    def test_scan_and_aggregate_shape(self, spark, frame, tmp_path):
+        # The row-volume aggregate (counts + exact distincts through
+        # Expand) runs off ONE scan and stays HASH-based; string
+        # min/max ride a second, string-columns-only pruned scan with a
+        # sortless grouping-free aggregate (a SortAggregate there would
+        # mean the string buffer leaked back into the Expand aggregate,
+        # re-sorting (1 + n_cols) x n_rows rows — the r6 regression
+        # this pins against).
         p = str(tmp_path / "t")
         frame.write.parquet(p)
         plan = (
@@ -53,8 +58,26 @@ class TestProfile:
             .executedPlan()
             .toString()
         )
-        assert plan.count("Scan parquet") == 1
+        assert plan.count("Scan parquet") == 2  # main + pruned string scan
         assert "Expand" in plan  # the documented multi-distinct cost
+        # no physical Sort anywhere: the Expand aggregate is hash-based
+        # and the string aggregate is grouping-free (a grouping-free
+        # SortAggregate node sorts nothing and is fine)
+        assert "Sort [" not in plan
+        assert "HashAggregate" in plan
+
+    def test_single_scan_when_no_string_columns(self, spark, tmp_path):
+        # Without string columns there is no split: one scan, hash aggs.
+        p = str(tmp_path / "t2")
+        spark.range(100).selectExpr("id", "id * 2 AS v").write.parquet(p)
+        plan = (
+            profile_table(spark.read.parquet(p))
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("Scan parquet") == 1
+        assert "Sort [" not in plan
 
     def test_unknown_column_rejected(self, spark, frame):
         with pytest.raises(ValueError):
