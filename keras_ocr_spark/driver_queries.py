@@ -3718,9 +3718,15 @@ def q_quality_percentile_gate(spark, sf_dir):
     from .operators.curation import quality_percentile_gate
 
     docs = _docs(spark, sf_dir)
-    quality = TS.quality_scores(docs).select("id", "quality")
-    lang = docs.select(F.col("doc_id").alias("id"), "lang")
-    return quality_percentile_gate(quality.join(lang, "id"), frac=0.6, id_col="id")
+    # quality and lang are both projections of the same scan — one
+    # fused select instead of quality_scores ⋈ lang (which shuffled
+    # both corpus-sized sides for a per-row expression; r6).
+    staged = docs.select(
+        F.col("doc_id").alias("id"),
+        pround(TS._quality_expr(F.col("text")), 6).alias("quality"),
+        "lang",
+    )
+    return quality_percentile_gate(staged, frac=0.6, id_col="id")
 
 
 @register(

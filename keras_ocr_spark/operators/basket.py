@@ -27,6 +27,7 @@ Reference analog: `get_balanced_weights` co-occurrence balancing over
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 
@@ -46,23 +47,38 @@ def copurchase_pairs(
         raise ValueError("max_items_per_basket must be >= 2")
     if top_k < 1:
         raise ValueError("top_k must be >= 1")
-    items = df.select(
-        F.col(basket_col).alias("_b"), F.col(item_col).alias("_i")
-    ).distinct()
-    sizes = items.groupBy("_b").agg(F.count(F.lit(1)).alias("_sz"))
-    kept = items.join(
-        sizes.filter(F.col("_sz") <= max_items_per_basket).select("_b"), "_b"
+    # ONE exchange builds the capped baskets: groupBy(basket) +
+    # collect_set dedupes items AND yields the size for the cap in the
+    # same aggregation — the r5 form paid a (basket, item) distinct
+    # exchange, a sizes aggregation, a semi-join, and then a 2x(rows)
+    # self-join shuffle keyed on the basket. Pair expansion is now
+    # per-basket array algebra off the sorted set (same device as the
+    # LSH bucket pair expansion), so no join ever carries the row
+    # explosion; the lazy lineage cut stops the three consumers
+    # (n_baskets, item counts, pairs) re-running the basket build.
+    baskets = (
+        df.select(F.col(basket_col).alias("_b"), F.col(item_col).alias("_i"))
+        .groupBy("_b")
+        .agg(F.sort_array(F.collect_set("_i")).alias("_items"))
+        .filter(F.size("_items") <= max_items_per_basket)
+        .localCheckpoint(eager=False)
     )
-    n_baskets = kept.select("_b").distinct().agg(
-        F.count(F.lit(1)).cast("long").alias("n_baskets")
+    n_baskets = baskets.agg(F.count(F.lit(1)).cast("long").alias("n_baskets"))
+    item_counts = baskets.select(F.explode("_items").alias("_i")).groupBy("_i").agg(
+        F.count(F.lit(1)).alias("_cnt")
     )
-    item_counts = kept.groupBy("_i").agg(F.count(F.lit(1)).alias("_cnt"))
-    a = kept.select(F.col("_b"), F.col("_i").alias("item_a"))
-    b = kept.select(F.col("_b"), F.col("_i").alias("item_b"))
+    pair_structs = F.flatten(
+        F.transform(
+            "_items",
+            lambda x, i: F.transform(
+                F.slice("_items", i + F.lit(2), F.size("_items")),
+                lambda y: F.struct(x.alias("item_a"), y.alias("item_b")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, "_b")
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b")
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.item_a").alias("item_a"), F.col("p.item_b").alias("item_b"))
         .agg(F.count(F.lit(1)).cast("long").alias("pair_count"))
     )
     out = (

