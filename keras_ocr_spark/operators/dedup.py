@@ -163,34 +163,86 @@ def containment_pairs_naive(
     )
 
 
-def _rarity_coded_docs(sh: DataFrame, max_shingle_df: int | None = None) -> DataFrame:
+def _rarity_coded_docs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
     """(id, codes, n): each doc's distinct shingles as a SORTED int
     array, dictionary-encoded by global rarity (corpus df ASC, shingle
-    ASC — the prefix-filter order). One vocab-sized agg + one narrow
-    groupBy(id) shuffle; the exploded shingle frame is scanned twice
-    (vocab agg + probe), both map-only.
+    ASC — the prefix-filter order).
 
-    The dense rank runs as a window over the VOCAB frame (distinct
-    shingles), not the corpus — it is broadcast to the probe join, so
-    this fast path assumes the shingle vocabulary fits an executor
-    (true for bounded-vocab corpora; the bench corpus has ~28k distinct
-    shingles). At open-vocabulary 100 TB scale swap the broadcast for a
-    shuffle join on shingle and assign codes with the distributed
-    exact-rank device (operators/ranking.py) — the downstream prefix
-    join is unchanged.
+    Plan shape: ONE exchange total on corpus-sized data (the map-side-
+    combined vocabulary count — partials are vocab-sized, not
+    row-sized); the ranked dictionary is then collected and applied as
+    a per-row Arrow kernel, so the corpus itself is never joined or
+    re-grouped to attach codes (the r6 first cut paid a broadcast join
+    over every exploded shingle row plus a groupBy(id)+collect_list
+    shuffle for the same result). The driver-side dictionary is
+    vocabulary-bounded — the SAME assumption the broadcast-dict join
+    made; at open-vocabulary 100 TB scale assign codes with the
+    distributed exact-rank device (operators/ranking.py) and attach
+    them with a shuffle join on shingle — the downstream prefix join is
+    unchanged either way.
     """
-    vocab = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def _sh_arr(texts: pd.Series) -> pd.Series:
+        def one(t):
+            if t is None:
+                return []
+            ws = t.split(" ")
+            if len(ws) < k:
+                return []
+            return list(dict.fromkeys(" ".join(ws[i : i + k]) for i in range(len(ws) - k + 1)))
+
+        return texts.map(one)
+
+    # Parallelism floor: this build and EVERYTHING downstream of it
+    # (prefix explode, candidate join probe, verification) is map-side
+    # relative to the coded frame, so its partitioning IS the query's
+    # task count. A bench-scale table is a single parquet row group
+    # (one scan partition) — without this spread the whole pair
+    # pipeline runs on one core (measured 133s vs 23s at sf1.0). At
+    # 100 TB the scan itself provides the partitions and this
+    # repartition is a no-op-sized shuffle of (id, text).
+    spread = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    sh_arr = (
+        spread.select(F.col(id_col).alias("id"), _sh_arr(F.col(text_col)).alias("_sh"))
+        .filter(F.size("_sh") > 0)
+        .localCheckpoint(eager=False)
+    )
+    vocab = (
+        sh_arr.select(F.explode("_sh").alias("shingle"))
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("_df"))
+    )
     if max_shingle_df is not None:
         vocab = vocab.filter(F.col("_df") <= max_shingle_df)
-    vocab = vocab.select(
+    ranked = vocab.select(
         "shingle", F.row_number().over(W.orderBy("_df", "shingle")).alias("_code")
     )
-    coded = (
-        sh.join(F.broadcast(vocab), "shingle")
-        .groupBy("id")
-        .agg(F.sort_array(F.collect_list("_code")).alias("codes"))
-    )
-    return coded.select("id", "codes", F.size("codes").alias("n"))
+    mapping = {r["shingle"]: r["_code"] for r in ranked.collect()}
+
+    # containsNull=False matters: nullable array elements knock
+    # array_intersect (and the explode/join chain) off the primitive
+    # specialization onto the boxed generic path — measured 10x slower
+    # verification with the default nullable element type.
+    @F.pandas_udf(T.ArrayType(T.IntegerType(), containsNull=False))
+    def _codes(shs: pd.Series) -> pd.Series:
+        m = mapping
+
+        def one(arr):
+            out = [m[s] for s in arr if s in m]
+            out.sort()
+            return out
+
+        return shs.map(one)
+
+    coded = sh_arr.select("id", _codes(F.col("_sh")).alias("codes"))
+    return coded.select("id", "codes", F.size("codes").alias("n")).filter(F.col("n") > 0)
 
 
 def containment_pairs(
@@ -232,8 +284,9 @@ def containment_pairs(
 
     Output: (id_a, id_b, n_a, n_b, containment).
     """
-    sh = shingle_docs_arrow(df, id_col, text_col, k).localCheckpoint(eager=False)
-    coded = _rarity_coded_docs(sh, max_shingle_df).localCheckpoint(eager=False)
+    coded = _rarity_coded_docs(df, id_col, text_col, k, max_shingle_df).localCheckpoint(
+        eager=False
+    )
     t = F.lit(float(threshold))
     plen = F.greatest(F.col("n") - F.ceil(t * F.col("n")) + F.lit(1), F.lit(0))
     small = coded.select(
@@ -312,7 +365,6 @@ def prefix_filter_jaccard_pairs(
     """
     if not 0 < threshold <= 1:
         raise ValueError("threshold must be in (0, 1]")
-    sh = shingle_docs_arrow(df, id_col, text_col, k).localCheckpoint(eager=False)
     # Dictionary-code the shingles by global rarity once
     # (:func:`_rarity_coded_docs`) and cut lineage: prefixes, the
     # self-join, and verification all derive from the one narrow
@@ -323,7 +375,7 @@ def prefix_filter_jaccard_pairs(
     # arrays (broadcast ~0.2 KB/doc signature frame) — the corpus text
     # is shingled exactly twice (vocab agg + probe), map-only, instead
     # of five times in the join-the-exploded-shingles form.
-    coded = _rarity_coded_docs(sh).localCheckpoint(eager=False)
+    coded = _rarity_coded_docs(df, id_col, text_col, k).localCheckpoint(eager=False)
     t = F.lit(float(threshold))
     plen = F.greatest(F.col("n") - F.ceil(t * F.col("n")) + F.lit(1), F.lit(0))
     prefix = coded.select(
