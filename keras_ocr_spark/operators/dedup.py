@@ -444,6 +444,12 @@ def minhash_signatures(
     # 9..16 (the fixed cross-engine layout the oracle mirrors).
     two_digests = n_hashes > 8
 
+    # Per-task digest memo: shingles repeat across documents (Zipf), so
+    # most md5 work is redundant; the cap bounds worker memory on
+    # open-vocabulary corpora (16-48 B per entry).
+    _cache: dict = {}
+    _CACHE_CAP = 1_000_000
+
     def _one(text):
         if text is None:
             return None
@@ -452,12 +458,20 @@ def minhash_signatures(
             return None
         shingles = {" ".join(words[i : i + k]) for i in range(len(words) - k + 1)}
         md5 = hashlib.md5
-        if two_digests:
-            buf = b"".join(md5(s.encode()).digest() + md5((s + "#").encode()).digest() for s in shingles)
-            width = 16
-        else:
-            buf = b"".join(md5(s.encode()).digest() for s in shingles)
-            width = 8
+
+        def dig(s):
+            d = _cache.get(s)
+            if d is None:
+                if two_digests:
+                    d = md5(s.encode()).digest() + md5((s + "#").encode()).digest()
+                else:
+                    d = md5(s.encode()).digest()
+                if len(_cache) < _CACHE_CAP:
+                    _cache[s] = d
+            return d
+
+        buf = b"".join(dig(s) for s in shingles)
+        width = 16 if two_digests else 8
         # 16 bytes per md5 digest = 8 big-endian uint16 windows;
         # components are the first n_hashes of them.
         arr = np.frombuffer(buf, dtype=">u2").reshape(-1, width)[:, :n_hashes]
@@ -666,7 +680,39 @@ def simhash_fingerprints(df: DataFrame, id_col: str = "doc_id", text_col: str = 
 
     @F.pandas_udf(T.LongType())
     def _sh(texts: pd.Series) -> pd.Series:
-        return texts.map(simhash64_py)
+        # Vectorized twin of functions.hashing.simhash64_py (the pure
+        # kernel stays as the cross-engine golden; equality pinned in
+        # tests): the naive form runs a 64-iteration Python vote loop
+        # per word occurrence. Here each DISTINCT word's md5 prefix is
+        # memoized per worker (Zipf word distributions make the hit
+        # rate ~1), and a doc's votes come from one numpy unpackbits +
+        # column sum over its word-hash matrix.
+        import numpy as np
+
+        cache: dict = {}
+        md5 = hashlib.md5
+
+        def hash_of(w):
+            v = cache.get(w)
+            if v is None:
+                v = int(md5(w.encode()).hexdigest()[:16], 16)
+                cache[w] = v
+            return v
+
+        def one(t):
+            if t is None:
+                return None
+            ws = t.split(" ")
+            hs = np.array([hash_of(w) for w in ws], dtype=np.uint64)
+            # bit b of each value -> column b (little-endian byte view +
+            # little bitorder == (v >> b) & 1)
+            bits = np.unpackbits(hs.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            ones = bits.sum(axis=0, dtype=np.int64)
+            pos = (2 * ones - len(ws)) > 0  # votes[b] > 0
+            u = int(np.packbits(pos, bitorder="little").view(np.uint64)[0])
+            return u - (1 << 64) if u >= (1 << 63) else u
+
+        return texts.map(one)
 
     return df.select(F.col(id_col).alias("id"), _sh(F.col(text_col)).alias("simhash"))
 
@@ -864,8 +910,9 @@ def substring_dup_stats(
     ``dup_frac``/``clean_text`` (the curation pipeline does; a bare
     count() prunes it all away, which is why the standalone bench line
     never showed it). Here gram digests come from one pandas UDF
-    (hashlib.md5, bit-identical to F.md5/DuckDB md5) and the span
-    union + text rebuild from a second struct-returning pandas UDF;
+    (raw hashlib.md5 bytes — hex is an injective encoding, so equality
+    classes match F.md5/DuckDB md5 exactly) and the span union + text
+    rebuild from a second struct-returning pandas UDF;
     the corpus-wide duplicated-digest count and the per-doc start-list
     join keep the exact same one-count-shuffle shape. Positions, not
     text, still ride the joins.
@@ -873,7 +920,11 @@ def substring_dup_stats(
     Output: (id, n_words, dup_words, dup_frac, clean_text).
     """
 
-    @F.pandas_udf(T.ArrayType(T.StringType()))
+    # RAW 16-byte digests, not 32-char hex: the digest column exists
+    # only for corpus-wide equality (groupBy + join-back), and hex is an
+    # injective encoding of the bytes, so equality classes are identical
+    # — at half the shuffle bytes and cheaper key compares.
+    @F.pandas_udf(T.ArrayType(T.BinaryType(), containsNull=False))
     def _grams(texts: pd.Series) -> pd.Series:
         md5 = hashlib.md5
 
@@ -883,7 +934,7 @@ def substring_dup_stats(
             ws = t.split(" ")
             if len(ws) < k:
                 return []
-            return [md5(" ".join(ws[i : i + k]).encode()).hexdigest() for i in range(len(ws) - k + 1)]
+            return [md5(" ".join(ws[i : i + k]).encode()).digest() for i in range(len(ws) - k + 1)]
 
         return texts.map(one)
 
