@@ -77,8 +77,11 @@ HEADLINERS = {
         "two Arrow kernels (r6 — the interpreted per-gram md5 chain and "
         "the O(words x spans) coverage algebra cost ~15s at sf1.0 when "
         "consumed; zero-Python twin kept as substring_dup_stats_sql); "
-        "same one-count-shuffle shape, positions not text ride the joins",
-        {"python_nodes": ("<=", 2), "cartesian": ("==", 0), "bnlj": ("==", 0)},
+        "same one-count-shuffle shape, positions not text ride the joins "
+        "(3 static python nodes = gram kernel planned twice + span kernel; "
+        "the duplicated gram subtrees share one exchange at runtime via "
+        "ReuseExchange)",
+        {"python_nodes": ("<=", 3), "cartesian": ("==", 0), "bnlj": ("==", 0)},
     ),
     "token_budget_mix": (
         "skew-hardened mix (r5): running sum windows on (lang, md5-prefix "
@@ -165,8 +168,9 @@ HEADLINERS = {
         "sortless grouping-free aggregate on a pruned string-only scan, "
         "attached as the 1-row broadcast (r6: string agg buffers forced "
         "the whole Expand aggregate to SortAggregate) — three exchanges "
-        "(multi-distinct partial + final + the 1-row string agg), no Sort",
-        {"exchanges": ("<=", 3), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
+        "(multi-distinct partial + final + the 1-row string agg + its "
+        "BroadcastExchange), no Sort",
+        {"exchanges": ("<=", 4), "python_nodes": ("==", 0), "cartesian": ("==", 0)},
     ),
     "skew_report_events": (
         "skew diagnostic: map-side-combined count shuffle, TakeOrdered "
