@@ -1588,7 +1588,11 @@ def q_curate_corpus(spark, sf_dir):
     surv = (
         keepers.join(feats, "id").filter(F.col("quality") >= 0.5)
     ).localCheckpoint(eager=False)
-    surv_docs = docs.join(surv.select(F.col("id").alias("doc_id")), "doc_id")
+    # substring_dup_stats consumes its input twice (gram branch + text
+    # rebuild branch) — cut once more so the survivors join runs once.
+    surv_docs = docs.join(surv.select(F.col("id").alias("doc_id")), "doc_id").localCheckpoint(
+        eager=False
+    )
     subs = D.substring_dup_stats(surv_docs, k=5).select("id", "dup_frac")
     gated = (
         surv.join(subs, "id")
