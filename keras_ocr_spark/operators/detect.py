@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..config import DEFAULT_CONFIG, ExtractionConfig
+from ..core.decoder import decode_text
 from ..core.proposal import propose_spans
 from ..core.tokenizer import tokenize
 
@@ -39,6 +40,15 @@ SPAN_TYPE = T.ArrayType(
             T.StructField("end", T.IntegerType(), False),
             T.StructField("score", T.DoubleType(), False),
             T.StructField("n_nodes", T.IntegerType(), False),
+            # Decoded span text, produced by the SAME pure-Python
+            # decoder the parity suite pins against the JVM expression
+            # chain (core/decoder.decode_text). Decoding here (r6)
+            # removes the per-span interpreted higher-order
+            # regexp/replace chain from the fused stage — the decode is
+            # one C-regex pass in the worker that already holds the
+            # string, instead of ~10 interpreted Catalyst expressions
+            # per span inside a transform() lambda.
+            T.StructField("clean", T.StringType(), False),
         ]
     )
 )
@@ -54,21 +64,30 @@ def propose_spans_udf(cfg: ExtractionConfig = DEFAULT_CONFIG):
     ``detection.py:698-743``; also where a heavyweight model/tokenizer
     would be loaded once per executor).
 
-    Proposal only — no decoding here: stage 2 decodes JVM-side and drops
-    spans whose decode is empty (blank-label drop,
-    ``recognition.py:483-488``), keeping Python work minimal.
+    Proposal + per-span decode (r6): the worker already holds the raw
+    string, so each span's clean text is one C-regex pass of the shared
+    pure decoder here; the blank-label drop (``recognition.py:483-488``)
+    stays JVM-side in the fused stage (the exploded/streaming variants
+    keep decoding JVM-side from the raw text — both paths are pinned
+    equal by the parity suite).
     """
     max_len = cfg.max_len
 
     @F.pandas_udf(SPAN_TYPE)
     def _propose(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
         # init-once-per-worker point: bind hot callables to locals.
-        _tokenize, _propose_spans, _cfg = tokenize, propose_spans, cfg
+        _tokenize, _propose_spans, _cfg, _decode = tokenize, propose_spans, cfg, decode_text
 
         def _one(raw) -> list:
             capped = (raw or "")[:max_len]
             return [
-                {"start": s.start, "end": s.end, "score": s.score, "n_nodes": s.n_nodes}
+                {
+                    "start": s.start,
+                    "end": s.end,
+                    "score": s.score,
+                    "n_nodes": s.n_nodes,
+                    "clean": _decode(capped[s.start : s.end]),
+                }
                 for s in _propose_spans(_tokenize(capped), len(capped), _cfg)
             ]
 

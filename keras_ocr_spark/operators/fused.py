@@ -30,24 +30,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import crop_expr, decode_expr
 
 
 def decode_reassemble_fused(detected: DataFrame) -> DataFrame:
-    """detect() output -> (conv_id, turn_idx, clean_text, spans), per-row."""
-    text = F.col("text")
-    decoded = F.transform(
-        "spans",
-        lambda s: F.struct(
-            s["start"].alias("start"),
-            s["end"].alias("end"),
-            decode_expr(crop_expr(text, s["start"], s["end"])).alias("clean"),
-        ),
-    )
-    kept = F.filter(decoded, lambda d: F.length(d["clean"]) > 0)
-    # Materialize `kept` in its own projection so the decode chain runs
-    # once per row — Catalyst keeps the two projects separate because the
-    # producing expression is non-cheap and referenced twice.
+    """detect() output -> (conv_id, turn_idx, clean_text, spans), per-row.
+
+    r6: the span struct now carries ``clean`` from the stage-1 kernel
+    (one C-regex decode in the worker that already holds the string), so
+    this stage is pure filter + join — the previous per-span interpreted
+    crop+decode chain (~10 Catalyst expressions per span inside the
+    transform lambda) is gone. Equality with the JVM-decoding exploded
+    plan is still pinned by tests/test_parity.py, which in turn pins the
+    decoder twins against each other."""
+    kept = F.filter("spans", lambda d: F.length(d["clean"]) > 0)
     staged = detected.select("conv_id", "turn_idx", kept.alias("_kept"))
     return staged.select(
         "conv_id",
