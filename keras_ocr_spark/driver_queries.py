@@ -1571,7 +1571,10 @@ def q_curate_corpus(spark, sf_dir):
     from .operators.clusters import leakage_safe_split
     from .operators.curation import token_budget_mix
 
-    docs = _docs(spark, sf_dir)
+    # The lineage cuts below split the pipeline into several JOBS, and
+    # ReuseExchange only dedupes within one executed plan — so the
+    # docs scan + repartition would otherwise re-run once per job (r6).
+    docs = _docs(spark, sf_dir).localCheckpoint(eager=False)
     pairs = D.minhash_dedup_pairs(docs, threshold=0.5)
     # Lazy lineage cuts at the narrow waists (split / surv / gated are
     # one short row per doc): the pipeline fans each of them out to 2+
